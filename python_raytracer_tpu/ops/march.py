@@ -1,0 +1,341 @@
+"""The voxel ray march: a batched, masked lax loop over all rays at once.
+
+This re-designs the reference's per-pixel Python while loop
+(``Camera.trace``, reference ``init.py:37-121``) as one SPMD program: every
+ray is a lane of [N]-shaped state arrays, every semantic branch of the
+reference becomes a mask, and the march runs either as a
+``lax.while_loop`` (forward rendering, exits when all rays are done) or a
+fixed-length ``lax.scan`` (differentiable path — reverse-mode AD needs a
+static trip count; SURVEY.md §7 "reverse-mode through a while loop").
+
+Reference semantics replicated per iteration (citations inline):
+
+1. active-chunk hysteresis: the chunk is recomputed only when the position
+   leaves the *closed* box [chunk_min, chunk_min + chunk_size]
+   (init.py:67-73), and crossed chunk positions are recorded for the
+   occlusion-culling feedback loop (init.py:72-73, 143).
+2. voxel fetch at floor(pos) from the active chunk's LOD-decimated content
+   (init.py:76-77; LOD semantics baked into ``baked_ids`` by
+   scene/compile.py).
+3. on hit: material program -> bounce; bounce accounting, life division,
+   Chebyshev renormalize, termination on life/energy/bounce budget
+   (init.py:81-86).
+4. IOR face reflection from the three axis neighbors, neighbors fetched
+   cross-chunk exactly like chunk_get (init.py:88-111).
+5. advance by the chunk resolution, or by the void-skip distance toward the
+   nearest possible chunk when outside all chunks (init.py:113-116).
+6. after the loop: the background program (init.py:119-120).
+
+RNG: two modes. ``key`` mode draws fresh uniforms per iteration from a JAX
+PRNG (fast path; noise statistics match the reference, exact values do not).
+``tape`` mode consumes a host-precomputed Mersenne-Twister tape in exactly
+the reference's draw order (one lod_random draw + two DOF draws consumed by
+raygen, then three draws per hit on materials with nonzero authored
+roughness — rand() draws nothing when its amplitude is 0, lib.py:431-434),
+enabling bit-exact golden tests against the reference (SURVEY.md §7 "RNG-
+exact image matching", plan A).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from python_raytracer_tpu.config import Settings
+from python_raytracer_tpu.ops import programs as P
+from python_raytracer_tpu.scene import material as M
+from python_raytracer_tpu.scene.compile import GridSpec, SceneArrays
+from python_raytracer_tpu.utils.mathutils import cheb_normalize, snapped
+
+
+class RayBatch(NamedTuple):
+    """Initial ray state ([N, 3] / [N])."""
+
+    pos: jnp.ndarray
+    vel: jnp.ndarray
+    life: jnp.ndarray
+
+
+class MarchResult(NamedTuple):
+    color: jnp.ndarray  # [N, 3] (post-background if enabled)
+    energy: jnp.ndarray  # [N]
+    bounces: jnp.ndarray  # [N]
+    step: jnp.ndarray  # [N]
+    pos: jnp.ndarray  # [N, 3]
+    vel: jnp.ndarray  # [N, 3]
+    traversed: jnp.ndarray  # bool [CX*CY*CZ] (all-False when not recorded)
+
+
+class _State(NamedTuple):
+    pos: jnp.ndarray
+    vel: jnp.ndarray
+    color: jnp.ndarray
+    energy: jnp.ndarray
+    step: jnp.ndarray
+    life: jnp.ndarray
+    bounces: jnp.ndarray
+    alive: jnp.ndarray
+    cmin: jnp.ndarray  # [N, 3] active chunk lower corner (world coords)
+    cmax: jnp.ndarray  # [N, 3] active chunk upper corner; the closed box
+    # [cmin, cmax] starts degenerate at (0,0,0) like the reference (init.py:46)
+    cres: jnp.ndarray  # [N] active chunk resolution, 0 = no chunk
+    ptr: jnp.ndarray  # [N] tape pointer (tape mode) or iteration scratch
+    traversed: jnp.ndarray  # [CX*CY*CZ] bool
+    it: jnp.ndarray  # [] iteration counter
+
+
+def _all3(x):
+    return jnp.all(x, axis=-1)
+
+
+def _gather_cell(spec: GridSpec, baked_flat, fpos_i, valid):
+    """baked_ids[fpos] with out-of-range/invalid masked to 0."""
+    g = fpos_i - jnp.array(spec.origin, jnp.int32)
+    in_grid = _all3((g >= 0) & (g < jnp.array(spec.shape, jnp.int32)))
+    gsafe = jnp.clip(g, 0, jnp.array(spec.shape, jnp.int32) - 1)
+    flat = (gsafe[..., 0] * spec.shape[1] + gsafe[..., 1]) * spec.shape[2] + gsafe[..., 2]
+    return jnp.where(valid & in_grid, baked_flat[flat], 0)
+
+
+def _chunk_res_at(spec: GridSpec, chunk_res_flat, cmin):
+    """chunk_res at a chunk lower corner (world coords, float). Returns 0 for
+    chunks outside the compiled grid."""
+    ci = ((cmin - jnp.array(spec.origin, cmin.dtype)) / spec.chunk_size).astype(jnp.int32)
+    cshape = jnp.array(spec.chunk_shape, jnp.int32)
+    in_grid = _all3((ci >= 0) & (ci < cshape))
+    csafe = jnp.clip(ci, 0, cshape - 1)
+    flat = (csafe[..., 0] * spec.chunk_shape[1] + csafe[..., 1]) * spec.chunk_shape[2] + csafe[..., 2]
+    return jnp.where(in_grid, chunk_res_flat[flat], 0), ci, in_grid
+
+
+def _neighbor_id(spec, arrays, npos, cmin, cmax, cres):
+    """Neighbor voxel id for the IOR reflection test (reference init.py:97-105).
+
+    Uses the active chunk when npos lies in its closed box, else the chunk
+    containing npos (reference chunk_get, init.py:28-33), honoring each
+    chunk's own content bounds.
+    """
+    cs = spec.chunk_size
+    nf = jnp.floor(npos).astype(jnp.int32)
+    in_active = _all3((npos >= cmin) & (npos <= cmax))
+    # Active-chunk path: content cells are [cmin, cmin + cs - 1].
+    act_ok = (cres > 0) & _all3(nf <= cmin.astype(jnp.int32) + (cs - 1)) & _all3(
+        nf >= cmin.astype(jnp.int32)
+    )
+    # Other-chunk path: the chunk containing npos.
+    n_cmin = snapped(npos, float(cs))
+    n_res, _, _ = _chunk_res_at(spec, arrays.chunk_res, n_cmin)
+    other_ok = n_res > 0
+    ok = jnp.where(in_active, act_ok, other_ok)
+    return _gather_cell(spec, arrays.baked_ids, nf, ok)
+
+
+def march(
+    settings: Settings,
+    spec: GridSpec,
+    arrays: SceneArrays,
+    rays: RayBatch,
+    *,
+    tape: Optional[jnp.ndarray] = None,
+    tape_ptr: Optional[jnp.ndarray] = None,
+    key: Optional[jnp.ndarray] = None,
+    programs_used: Tuple[int, ...] = (M.PROGRAM_PBR,),
+    background: Optional[str] = "sky",
+    mode: str = "while",
+    record_traversed: bool = False,
+) -> MarchResult:
+    """March a batch of rays to completion. See module docstring."""
+    n = rays.pos.shape[0]
+    dtype = rays.pos.dtype
+    cs = float(settings.chunk_size)
+    table = arrays.material_table.astype(dtype)
+    max_iters = settings.march_steps
+
+    use_tape = tape is not None
+    if use_tape and tape_ptr is None:
+        tape_ptr = jnp.zeros((n,), jnp.int32)
+    if not use_tape and key is None:
+        key = jax.random.PRNGKey(0)
+
+    def rounding(x):
+        return jnp.round(x) if settings.exact else x
+
+    def draws_for_iteration(state):
+        """[N, 3] uniforms for this iteration's potential hits."""
+        if use_tape:
+            idx = state.ptr[:, None] + jnp.arange(3)[None, :]
+            idx = jnp.clip(idx, 0, tape.shape[1] - 1)
+            return jnp.take_along_axis(tape, idx, axis=1).astype(dtype)
+        k = jax.random.fold_in(key, state.it)
+        return jax.random.uniform(k, (n, 3), dtype=dtype)
+
+    def body(state: _State) -> _State:
+        alive = state.alive
+        pos, vel = state.pos, state.vel
+
+        # -- 1. active-chunk hysteresis (init.py:67-73) --
+        in_box = _all3(pos >= state.cmin) & _all3(pos <= state.cmax)
+        switch = alive & ~in_box
+        new_cmin = snapped(pos, cs)
+        cmin = jnp.where(switch[:, None], new_cmin, state.cmin)
+        cmax = jnp.where(switch[:, None], new_cmin + cs, state.cmax)
+        res_new, ci, ci_in_grid = _chunk_res_at(spec, arrays.chunk_res, cmin)
+        cres = jnp.where(switch, res_new, state.cres)
+
+        traversed = state.traversed
+        if record_traversed:
+            mark = switch & ci_in_grid
+            flat = (
+                jnp.clip(ci[:, 0], 0, spec.chunk_shape[0] - 1) * spec.chunk_shape[1]
+                + jnp.clip(ci[:, 1], 0, spec.chunk_shape[1] - 1)
+            ) * spec.chunk_shape[2] + jnp.clip(ci[:, 2], 0, spec.chunk_shape[2] - 1)
+            traversed = traversed.at[flat].max(mark)
+
+        # -- 2. voxel fetch (init.py:76-77) --
+        has_chunk = cres > 0
+        fpos = jnp.floor(pos).astype(jnp.int32)
+        in_content = _all3(fpos <= cmin.astype(jnp.int32) + (settings.chunk_size - 1))
+        vid = _gather_cell(spec, arrays.baked_ids, fpos, alive & has_chunk & in_content)
+        hit = vid > 0
+
+        # -- 3. material program (init.py:81-86, lib.py:448-460) --
+        rows = table[vid]
+        mat = P.MatParams(
+            albedo=rows[:, M.PARAM_ALBEDO_R : M.PARAM_ALBEDO_B + 1],
+            roughness=rows[:, M.PARAM_ROUGHNESS],
+            absorption=rows[:, M.PARAM_ABSORPTION],
+            ior=rows[:, M.PARAM_IOR],
+            energy=rows[:, M.PARAM_ENERGY],
+        )
+        has_rough = arrays.has_roughness[vid] > 0
+        u = draws_for_iteration(state)
+        u = jnp.where((hit & has_rough)[:, None], u, 0.5)  # rand() center when no draw
+        ray_view = P.HitRay(
+            color=state.color,
+            energy=state.energy,
+            life=state.life,
+            vel=vel,
+            bounces=state.bounces,
+            step=state.step,
+        )
+        if len(programs_used) == 1:
+            upd, bounce = P.get_program(programs_used[0])(ray_view, mat, settings, u)
+        else:
+            pids = arrays.program[vid]
+            upd, bounce = None, None
+            for pid in programs_used:
+                u_i, b_i = P.get_program(pid)(ray_view, mat, settings, u)
+                if upd is None:
+                    upd, bounce = dict(u_i), b_i
+                else:
+                    sel = (pids == pid)
+                    for k_ in upd:
+                        s = sel[:, None] if upd[k_].ndim == 2 else sel
+                        upd[k_] = jnp.where(s, u_i.get(k_, upd[k_]), upd[k_])
+                    bounce = jnp.where(sel, b_i, bounce)
+
+        color = jnp.where(hit[:, None], rounding(upd.get("color", state.color)), state.color)
+        energy = jnp.where(hit, upd.get("energy", state.energy), state.energy)
+        life = jnp.where(hit, upd.get("life", state.life), state.life)
+        vel = jnp.where(hit[:, None], upd.get("vel", vel), vel)
+        bounces = jnp.where(hit, state.bounces + bounce, state.bounces)
+        life = jnp.where(hit, life / (cres.astype(dtype) + bounce * settings.lod_bounces), life)
+        vel = jnp.where(hit[:, None], cheb_normalize(vel), vel)
+        ptr = state.ptr + jnp.where(hit & has_rough, 3, 0) if use_tape else state.ptr
+
+        term = hit & (
+            (state.step >= life)
+            | (energy >= settings.max_light)
+            | (bounces >= settings.max_bounces + 1)
+        )
+
+        # -- 4. IOR face reflection (init.py:88-111) --
+        do_ior = hit & ~term & (arrays.has_ior[vid] > 0)
+        direction = (mat.ior - 0.5) * 2.0
+        units = jnp.eye(3, dtype=dtype)
+        new_vel = vel
+        n_ids = []
+        for axis in range(3):
+            toward = vel[:, axis] < direction
+            npos = jnp.where(toward[:, None], pos + units[axis], pos - units[axis])
+            n_ids.append(_neighbor_id(spec, arrays, npos, cmin, cmax, cres))
+        for axis in range(3):
+            n_ior = table[n_ids[axis], M.PARAM_IOR]
+            flip = (n_ids[axis] == 0) | (n_ior != mat.ior)
+            delta = new_vel[:, axis] - new_vel[:, axis] * mat.ior * 2.0
+            new_vel = new_vel.at[:, axis].set(
+                jnp.where(do_ior & flip, delta, new_vel[:, axis])
+            )
+        vel = new_vel
+
+        # -- 5. advance or void skip (init.py:113-116) --
+        adv = alive & ~term
+        void_step = 1.0 + jnp.abs(
+            settings.chunk_radius
+            - jnp.mod(jnp.min(pos, axis=-1) + settings.chunk_radius, cs)
+        )
+        step_len = jnp.where(has_chunk, cres.astype(dtype), void_step.astype(dtype))
+        pos = jnp.where(adv[:, None], pos + vel * step_len[:, None], pos)
+        step = jnp.where(adv, state.step + step_len, state.step)
+
+        alive = adv & (step < life)
+        return _State(
+            pos=pos, vel=vel, color=color, energy=energy, step=step, life=life,
+            bounces=bounces, alive=alive, cmin=cmin, cmax=cmax, cres=cres, ptr=ptr,
+            traversed=traversed, it=state.it + 1,
+        )
+
+    zero = jnp.zeros((n,), dtype)
+    init = _State(
+        pos=rays.pos,
+        vel=rays.vel,
+        color=jnp.zeros((n, 3), dtype),
+        energy=zero,
+        step=zero,
+        life=rays.life,
+        bounces=zero,
+        alive=zero < rays.life,
+        cmin=jnp.zeros((n, 3), dtype),
+        cmax=jnp.zeros((n, 3), dtype),
+        cres=jnp.zeros((n,), jnp.int32),
+        ptr=(tape_ptr if use_tape else jnp.zeros((n,), jnp.int32)),
+        traversed=jnp.zeros((spec.num_chunks,), bool),
+        it=jnp.zeros((), jnp.int32),
+    )
+
+    if mode == "while":
+        final = jax.lax.while_loop(
+            lambda s: jnp.any(s.alive) & (s.it < max_iters), body, init
+        )
+    elif mode == "scan":
+        def scan_body(s, _):
+            return body(s), None
+
+        final, _ = jax.lax.scan(scan_body, init, None, length=max_iters)
+    else:
+        raise ValueError(f"mode must be 'while' or 'scan', got {mode!r}")
+
+    # -- 6. background program (init.py:119-120, lib.py:463-476) --
+    color, energy = final.color, final.energy
+    bg = P.resolve_background(background)
+    if bg is not None:
+        color, energy = bg(color, energy, final.vel, final.bounces, settings)
+        color = jnp.round(color) if settings.exact else color
+        # Energy -> color intensity, clamped (lib.py:474-476): round then min.
+        if settings.exact:
+            color = jnp.minimum(255.0, jnp.round(color * energy[:, None]))
+        else:
+            color = jnp.minimum(255.0, color * energy[:, None])
+
+    return MarchResult(
+        color=color,
+        energy=energy,
+        bounces=final.bounces,
+        step=final.step,
+        pos=final.pos,
+        vel=final.vel,
+        traversed=final.traversed,
+    )

@@ -1,0 +1,159 @@
+"""Material programs: vectorized per-hit shaders.
+
+The reference calls a Python function per voxel hit — ``mat.function(ray,
+mat, settings)`` (reference ``init.py:81``), with the builtin "PBR" shader at
+``lib.py:448-460`` and a documented ABI for custom mod shaders
+(``README.md:96-108``). A Python callback per hit cannot run inside a TPU
+kernel, so the TPU build turns shaders into **programs**: jit-compatible
+functions vectorized over all rays that hit a material this step. Each
+Material selects a program by name; per-hit dispatch is a masked select over
+the (small) set of programs used by the scene — the MoE-style "expert
+dispatch" view of the material system (SURVEY.md §2.2).
+
+Program ABI (all arrays batched over N rays):
+
+    def program(ray: HitRay, mat: MatParams, settings: Settings,
+                draws: [N, 3] uniforms in [0,1)) -> (updates: dict, bounce: [N])
+
+``updates`` may set any of color/energy/life/vel; ``bounce`` is the amount
+added to the ray's bounce counter (the reference returns ``mat.absorption``).
+Custom ray properties (reference README.md:96 "store" extensibility) map to
+extra fields caller-side; round 1 ships the builtin programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Union
+
+import jax.numpy as jnp
+
+from python_raytracer_tpu.scene import material as M
+
+
+@dataclasses.dataclass
+class HitRay:
+    """Per-hit view of the ray state (arrays batched [N] / [N, 3])."""
+
+    color: jnp.ndarray  # [N, 3] 0..255
+    energy: jnp.ndarray  # [N]
+    life: jnp.ndarray  # [N]
+    vel: jnp.ndarray  # [N, 3]
+    bounces: jnp.ndarray  # [N]
+    step: jnp.ndarray  # [N]
+
+
+@dataclasses.dataclass
+class MatParams:
+    """Columns of the material table rows gathered for this hit ([N] each)."""
+
+    albedo: jnp.ndarray  # [N, 3]
+    roughness: jnp.ndarray
+    absorption: jnp.ndarray
+    ior: jnp.ndarray
+    energy: jnp.ndarray
+
+
+def _mix(a, b, bias):
+    return a * (1 - bias) + b * bias
+
+
+def pbr_program(ray: HitRay, mat: MatParams, settings, draws):
+    """Builtin simplified-PBR shader (reference lib.py:448-460).
+
+    absorption falloff by bounce count, albedo/emission blend into the ray,
+    life decay by roughness*absorption, velocity jitter by roughness, bounce
+    amount = material absorption. Color rounding (rgb.mix rounds every blend,
+    lib.py:393-395) is applied by the marcher when settings.exact.
+    """
+    absorption = jnp.minimum(
+        1.0, mat.absorption / (1.0 + ray.bounces) ** (1.0 + settings.falloff)
+    )
+    color = _mix(ray.color, mat.albedo, absorption[:, None])
+    energy = _mix(ray.energy, mat.energy, absorption)
+    life = ray.life * (1.0 - mat.roughness * absorption)
+    jitter = (-1.0 + draws * 2.0) * mat.roughness[:, None]
+    vel = ray.vel + jitter
+    return {"color": color, "energy": energy, "life": life, "vel": vel}, mat.absorption
+
+
+_PROGRAMS: Dict[int, Callable] = {M.PROGRAM_PBR: pbr_program}
+_PROGRAM_NAMES: Dict[str, int] = {"pbr": M.PROGRAM_PBR, "material": M.PROGRAM_PBR}
+_CALLABLE_IDS: Dict[int, int] = {}
+
+
+def register_program(name: str, fn: Callable) -> int:
+    """Register a custom vectorized material program under a name.
+
+    This is the TPU equivalent of assigning a Python function to
+    ``Material(function=...)`` (reference README.md:110-124 mod ABI).
+    """
+    pid = max(_PROGRAMS.keys()) + 1
+    _PROGRAMS[pid] = fn
+    _PROGRAM_NAMES[name] = pid
+    _CALLABLE_IDS[id(fn)] = pid
+    return pid
+
+
+def resolve_program(function: Union[None, str, Callable]) -> int:
+    """Map a Material.function value to a program id."""
+    if function is None:
+        return M.PROGRAM_PBR
+    if isinstance(function, str):
+        if function in _PROGRAM_NAMES:
+            return _PROGRAM_NAMES[function]
+        raise KeyError(f"Unknown material program {function!r}; register_program() it first")
+    if callable(function):
+        pid = _CALLABLE_IDS.get(id(function))
+        if pid is not None:
+            return pid
+        # The reference's builtin shader symbol (lib.material) maps to PBR.
+        if getattr(function, "__name__", "") == "material":
+            return M.PROGRAM_PBR
+        raise KeyError(
+            "Material.function callables must be registered with register_program(); "
+            f"got {function!r}"
+        )
+    raise TypeError(f"Bad material function {function!r}")
+
+
+def get_program(pid: int) -> Callable:
+    return _PROGRAMS[pid]
+
+
+# --- background programs (reference background ABI: f(ray, settings),
+#     README.md:108; builtin sky at lib.py:463-476) ---
+
+def sky_background(color, energy, vel, bounces, settings):
+    """Builtin procedural sky (reference lib.py:463-476): gradient from the
+    ray's final Y velocity, bounce falloff blend, then the only place ray
+    energy multiplies into color. Returns (color, energy) pre-round — the
+    marcher applies exact-mode rounding/clamping."""
+    absorption = jnp.minimum(1.0, 1.0 / (1.0 + bounces) ** (1.0 + settings.falloff))
+    up = jnp.maximum(0.0, vel[:, 1])
+    sky_color = jnp.stack(
+        [jnp.full_like(up, 127.0), 127.0 + up * 64.0, 127.0 + up * 128.0], axis=-1
+    )
+    sky_energy = 1.0 + up
+    color = _mix(color, sky_color, absorption[:, None])
+    energy = _mix(energy, sky_energy, absorption)
+    return color, energy
+
+
+_BACKGROUNDS: Dict[str, Callable] = {"sky": sky_background, "material_background": sky_background}
+
+
+def register_background(name: str, fn: Callable) -> None:
+    _BACKGROUNDS[name] = fn
+
+
+def resolve_background(background: Union[None, str, Callable]) -> Optional[Callable]:
+    if background is None:
+        return None
+    if isinstance(background, str):
+        return _BACKGROUNDS[background]
+    if callable(background):
+        if getattr(background, "__name__", "") == "material_background":
+            return sky_background
+        return background
+    raise TypeError(f"Bad background {background!r}")

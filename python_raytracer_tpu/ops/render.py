@@ -1,0 +1,140 @@
+"""Frame rendering: pixel/sample fan-out, march, sample resolve.
+
+Replicates the reference's ``Camera.tile`` loop (reference ``init.py:126-150``)
+for the whole frame at once:
+
+* per-pixel sample count ``max(1, round(samples * detail))`` (init.py:134) —
+  an irregular workload the reference handles with a Python loop and the TPU
+  build handles with a static [n_pixels, max_samples] lattice + active masks,
+* per-sample ray detail ``detail / (1 + sample * lod_samples) *
+  (1 - lod_random * u)`` (init.py:139),
+* motion-blur alpha ``round(min(1, energy + shutter) * 255)`` (init.py:141),
+* per-pixel sample average (lib.py:419-428) with the set_at int truncation
+  (init.py:146) in exact mode.
+
+RNG modes mirror ops/march.py: ``key`` (device PRNG) or ``tape`` (host
+Mersenne-Twister tape, [n_pixels, max_samples, n_draws], draw order
+u_lod, u_dof_x, u_dof_y, then 3 per roughness-hit — see tools/tape.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from python_raytracer_tpu.config import Settings
+from python_raytracer_tpu.ops.camera import generate_rays, pixel_grid
+from python_raytracer_tpu.ops.march import MarchResult, RayBatch, march
+from python_raytracer_tpu.scene.compile import GridSpec, SceneArrays
+
+
+def render_rays(settings, spec, arrays, rays: RayBatch, **kw) -> MarchResult:
+    """March a pre-built ray batch (bench / sharded entry point)."""
+    return march(settings, spec, arrays, rays, **kw)
+
+
+def render_frame(
+    settings: Settings,
+    spec: GridSpec,
+    arrays: SceneArrays,
+    cam_pos,
+    cam_rot,
+    lens: Optional[float] = None,
+    *,
+    tape: Optional[jnp.ndarray] = None,
+    key: Optional[jnp.ndarray] = None,
+    background: Optional[str] = "sky",
+    mode: str = "while",
+    record_traversed: bool = False,
+    dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Render one frame.
+
+    Returns (image [H, W, 4] float RGBA in 0..255, traversed bool
+    [CX, CY, CZ]). In exact mode the image holds the reference's integer
+    values (as floats).
+    """
+    w, h, s_max = settings.width, settings.height, settings.samples
+    n_px = w * h
+    dirs, detail = pixel_grid(settings, dtype)
+
+    # Per-pixel sample counts (init.py:134); round() is banker's rounding in
+    # both Python and jnp.
+    samples_px = jnp.maximum(1, jnp.round(settings.samples * detail)).astype(jnp.int32)
+    sidx = jnp.arange(s_max, dtype=jnp.int32)
+    active = sidx[None, :] < samples_px[:, None]  # [n_px, s_max]
+
+    # RNG fan-out
+    use_tape = tape is not None
+    if use_tape:
+        tape = jnp.asarray(tape)
+        u_lod = tape[:, :, 0].astype(dtype)
+        if settings.dof:
+            u_dof = tape[:, :, 1:3].astype(dtype)
+            ptr0 = 3
+        else:
+            u_dof = None
+            ptr0 = 1
+        march_tape = tape.reshape(n_px * s_max, -1)
+        march_ptr = jnp.full((n_px * s_max,), ptr0, jnp.int32)
+        march_key = None
+    else:
+        k = key if key is not None else jax.random.PRNGKey(0)
+        k_lod, k_dof, march_key = jax.random.split(k, 3)
+        u_lod = jax.random.uniform(k_lod, (n_px, s_max), dtype=dtype)
+        u_dof = jax.random.uniform(k_dof, (n_px, s_max, 2), dtype=dtype)
+        march_tape = None
+        march_ptr = None
+
+    ray_detail = (
+        detail[:, None]
+        / (1 + sidx[None, :].astype(dtype) * settings.lod_samples)
+        * (1 - settings.lod_random * u_lod)
+    )
+    ray_detail = jnp.where(active, ray_detail, 0)  # masked samples never march
+
+    dirs_full = jnp.broadcast_to(dirs[:, None, :], (n_px, s_max, 2)).reshape(-1, 2)
+    u_dof_full = (
+        None
+        if u_dof is None
+        else jnp.broadcast_to(u_dof, (n_px, s_max, 2)).reshape(-1, 2)
+    )
+    rays = generate_rays(
+        settings,
+        jnp.asarray(cam_pos, dtype),
+        jnp.asarray(cam_rot, dtype),
+        dirs_full,
+        ray_detail.reshape(-1),
+        u_dof_full,
+        lens,
+    )
+
+    res = march(
+        settings,
+        spec,
+        arrays,
+        rays,
+        tape=march_tape,
+        tape_ptr=march_ptr,
+        key=march_key,
+        background=background,
+        mode=mode,
+        record_traversed=record_traversed,
+    )
+
+    # Motion-blur alpha (init.py:141) and per-pixel sample resolve
+    # (lib.py:419-428 average + init.py:146 int truncation).
+    if settings.exact:
+        alpha = jnp.round(jnp.minimum(1.0, res.energy + settings.shutter) * 255)
+    else:
+        alpha = jnp.minimum(1.0, res.energy + settings.shutter) * 255
+    rgba = jnp.concatenate([res.color, alpha[:, None]], axis=-1).reshape(n_px, s_max, 4)
+    rgba = jnp.where(active[:, :, None], rgba, 0)
+    avg = rgba.sum(axis=1) / samples_px[:, None].astype(dtype)
+    if settings.exact:
+        avg = jnp.trunc(avg)
+    image = avg.reshape(h, w, 4)
+    traversed = res.traversed.reshape(spec.chunk_shape)
+    return image, traversed

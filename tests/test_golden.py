@@ -1,0 +1,64 @@
+"""Golden-image tests: the TPU renderer vs the reference engine's output.
+
+The goldens are produced by tools/reference_oracle.py driving the actual
+reference code at /root/reference (SURVEY.md §4 item 1). Two tiers:
+
+* no-noise config (dof=0, lod_random=0, roughness zeroed): the march is
+  fully deterministic — the image must match the reference bit-for-bit in
+  float64.
+* stock config: every RNG draw is replayed from the recorded
+  Mersenne-Twister tape, so the stock image (DOF jitter, roughness
+  scattering, per-sample detail randomization) must also match exactly.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from python_raytracer_tpu.models.default import build_default_scene, default_settings
+from python_raytracer_tpu.ops.render import render_frame
+from python_raytracer_tpu.scene.compile import compile_scene
+
+
+def test_nonoise_exact(golden_nonoise, compiled_nonoise, default_scene_nonoise):
+    g = golden_nonoise
+    cs = compiled_nonoise
+    st = default_scene_nonoise.settings
+    img, _ = render_frame(
+        st, cs.spec, cs.arrays, np.array(g["cam_pos"]), np.array(g["cam_rot"]),
+        dtype=jnp.float64,
+    )
+    img = np.asarray(img)
+    ref = g["image"]
+    diff = np.abs(img - ref).max(axis=-1)
+    mismatched = int((diff > 0).sum())
+    assert mismatched == 0, (
+        f"{mismatched}/{diff.size} pixels differ (max {diff.max()})"
+    )
+
+
+def test_stock_tape_exact(golden_stock):
+    g = golden_stock
+    st = default_settings()
+    scene = build_default_scene(st)
+    cam_pos = np.array(g["cam_pos"])
+    cs = compile_scene(scene, cam_pos=cam_pos)
+    tape = g["tape"]  # [H*W, S, D] float64
+    img, _ = render_frame(
+        st, cs.spec, cs.arrays, cam_pos, np.array(g["cam_rot"]),
+        tape=tape, dtype=jnp.float64,
+    )
+    img = np.asarray(img)
+    ref = g["image"]
+    diff = np.abs(img - ref).max(axis=-1)
+    mismatched = int((diff > 0).sum())
+    assert mismatched == 0, (
+        f"{mismatched}/{diff.size} pixels differ (max {diff.max()})"
+    )
+
+
+def test_march_stats_match_reference(golden_stock):
+    """Mean steps/bounces per ray in the stock render should match the
+    reference's measured profile (SURVEY.md §6: ~28.7 steps, ~2.60 bounces)."""
+    g = golden_stock
+    assert 20 < g["steps"].mean() < 40
+    assert 2.0 < g["bounces"].mean() < 3.2

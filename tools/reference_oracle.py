@@ -1,0 +1,263 @@
+"""Headless driver for the reference engine — the golden-image oracle.
+
+Drives the *actual reference code* at /root/reference (its Camera.trace march,
+Frame voxel store, material shaders) without a window or process pool, so the
+TPU renderer can be compared pixel-for-pixel against it. The reference has no
+tests of its own (SURVEY.md §4), so this harness is the oracle for golden
+tests: it replicates the orchestration that Window would do — chunk building
+(init.py:389-452) and the per-pixel sample loop of Camera.tile
+(init.py:126-147) — while calling into the reference's own modules for all
+math and traversal.
+
+Also records a Mersenne-Twister "RNG tape": the exact uniform draws each
+(pixel, sample) ray consumed, in order, so the TPU marcher can replay them
+bit-for-bit (SURVEY.md §7 "RNG-exact image matching", plan A).
+
+Usage (writes a golden .npz):
+    python3 tools/reference_oracle.py --out tests/golden/default_nonoise.npz \
+        --override dof=0 --override lod_random=0 --zero-roughness
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import random
+import sys
+
+import numpy as np
+
+REF_PATH = os.environ.get("REFERENCE_PATH", "/root/reference")
+
+
+class RecordingRandom:
+    """random-module stand-in that records draws per seeded stream."""
+
+    def __init__(self):
+        self._rng = random.Random()
+        self.recording = None  # list to append draws to, or None
+
+    def seed(self, n=None):
+        self._rng.seed(n)
+
+    def random(self):
+        v = self._rng.random()
+        if self.recording is not None:
+            self.recording.append(v)
+        return v
+
+    def getrandbits(self, k):
+        return self._rng.getrandbits(k)
+
+
+def load_reference(mod: str = "default"):
+    """Import the reference engine headlessly; returns (lib, data, Camera)."""
+    os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+    os.chdir(REF_PATH)
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+    sys.argv = ["init.py", mod]
+    for name in ("lib", "data"):
+        sys.modules.pop(name, None)
+    import lib  # noqa: E402
+    import data  # noqa: E402
+
+    # Execute init.py's source up to (but not including) the trailing
+    # Window() instantiation, to obtain the Camera class without starting
+    # the app (reference init.py:474).
+    src = open(os.path.join(REF_PATH, "init.py")).read()
+    cut = src.rfind("Window()")
+    ns = {"__name__": "ref_init"}
+    exec(compile(src[:cut], "ref_init.py", "exec"), ns)
+    return lib, data, ns["Camera"]
+
+
+def apply_overrides(data, overrides: dict):
+    """Mutate data.settings post-import and refresh derived values
+    (reference data.py:64-68)."""
+    for k, v in overrides.items():
+        setattr(data.settings, k, v)
+    s = data.settings
+    s.window = s.width, s.height
+    s.window_scaled = s.window[0] * s.scale, s.window[1] * s.scale
+    s.proportions = ((s.width + s.height) / 2) / max(s.width, s.height)
+    s.chunk_time = s.chunk_rate / 1000
+    s.chunk_radius = round(s.chunk_size / 2)
+
+
+def build_camera(lib, data, Camera, packed: bool = False):
+    """Build the camera chunk dict the way Window.chunk_update does with all
+    chunks traversed (reference init.py:389-452). ``packed=False`` skips the
+    reference's greedy box compression — a pure speed optimization with
+    identical get_voxel results."""
+    vec3 = lib.vec3
+    s = data.settings
+    cs = s.chunk_size
+    cam = Camera()
+    cam.pos = data.player.cam_pos
+    cam.rot = data.player.cam_rot
+
+    # Pass 1: per-object chunk voxel gathers (init.py:398-429).
+    chunks_objects = {}
+    for obj_id, obj in data.objects.items():
+        dist = obj.pos.distance(cam.pos)
+        obj.visible = bool(obj.sprite) and dist <= s.dist_max + obj.size.maxs()
+        if not obj.visible:
+            continue
+        spr = obj.get_sprite()
+        cmin = obj.mins.snapped(cs)
+        cmax = obj.maxs.snapped(cs)
+        for cx in range(cmin.x, cmax.x + 1, cs):
+            for cy in range(cmin.y, cmax.y + 1, cs):
+                for cz in range(cmin.z, cmax.z + 1, cs):
+                    voxels = {}
+                    pos_min = obj.mins.max(vec3(cx, cy, cz))
+                    pos_max = obj.maxs.min(vec3(cx + cs, cy + cs, cz + cs))
+                    for x in range(pos_min.x, pos_max.x):
+                        for y in range(pos_min.y, pos_max.y):
+                            for z in range(pos_min.z, pos_max.z):
+                                mat = spr.get_voxel(None, vec3(x, y, z) - obj.mins, obj.rot)
+                                if mat:
+                                    voxels[(x, y, z)] = mat
+                    if voxels:
+                        chunks_objects.setdefault(obj_id, {})[(cx, cy, cz)] = voxels
+
+    # Pass 2: merge per chunk + LOD ladder (init.py:434-446).
+    chunk_keys = set()
+    for per_obj in chunks_objects.values():
+        chunk_keys.update(per_obj.keys())
+    chunks = {}
+    for post in chunk_keys:
+        voxels = {}
+        for per_obj in chunks_objects.values():
+            if post in per_obj:
+                voxels |= per_obj[post]
+        ladder = []
+        for lod in range(s.chunk_lod + 1):
+            frame = data.Frame(packed=packed, resolution=lod + 1)
+            frame.set_voxels(voxels, True)
+            ladder.append(frame)
+        chunks[post] = ladder
+
+    # Pass 3: camera assignment by distance LOD, culling off (init.py:447-452).
+    for post, ladder in chunks.items():
+        pos = vec3(post[0], post[1], post[2]) + s.chunk_radius
+        lod = min(math.trunc(pos.distance(cam.pos) / (s.dist_max / (1 + s.chunk_lod))), s.chunk_lod)
+        cam.chunk_set(post, ladder[lod])
+    return cam
+
+
+def render(lib, data, cam, record_tape: bool = True, max_draws: int = 0):
+    """Render a frame via Camera.trace, replicating the Camera.tile pixel /
+    sample loop (init.py:126-147). Returns (image [H, W, 4] float64,
+    tape [H*W, S, D] float64, diag dict)."""
+    s = data.settings
+    W, H, S = s.width, s.height, s.samples
+
+    rec = RecordingRandom()
+    lib.random = rec  # lib.rand() and the sample-loop draws go through this
+
+    image = np.zeros((H, W, 4), dtype=np.float64)
+    steps = np.zeros((H, W), dtype=np.float64)
+    bounces = np.zeros((H, W), dtype=np.float64)
+    draw_counts = np.zeros((H, W, S), dtype=np.int32)
+    tapes = {}
+
+    for x in range(W):
+        for y in range(H):
+            colors = []
+            dir_x = -1 + (x / W) * 2
+            dir_y = -1 + (y / H) * 2
+            detail = 1 - abs(dir_x * dir_y) * s.lod_edge
+            samples = max(1, round(s.samples * detail))
+            for sample in range(samples):
+                if s.static:
+                    rec.seed((1 + x) * (1 + y) * (1 + sample))
+                rec.recording = []
+                ray_detail = detail / (1 + sample * s.lod_samples) * (1 - s.lod_random * rec.random())
+                ray = cam.trace(dir_x, dir_y, ray_detail)
+                alpha = round(min(1, ray.energy + s.shutter) * 255)
+                colors.append(ray.color.array() + [alpha])
+                draw_counts[y, x, sample] = len(rec.recording)
+                if record_tape:
+                    tapes[(y, x, sample)] = list(rec.recording)
+                rec.recording = None
+                if sample == 0:
+                    steps[y, x] = ray.step
+                    bounces[y, x] = ray.bounces
+            color = lib.average(colors)
+            image[y, x] = [int(c) for c in color]
+
+    tape = None
+    if record_tape:
+        d_max = max(max_draws, int(draw_counts.max()) + 3)
+        tape = np.zeros((H * W, S, d_max), dtype=np.float64)
+        for (y, x, sample), draws in tapes.items():
+            # Extend each stream deterministically so the TPU replay can read
+            # past the recorded draws without changing consumed values.
+            rng = random.Random((1 + x) * (1 + y) * (1 + sample)) if s.static else None
+            if rng is not None:
+                full = [rng.random() for _ in range(d_max)]
+                assert full[: len(draws)] == draws, "tape replay mismatch"
+            else:
+                full = draws + [0.5] * (d_max - len(draws))
+            tape[y * W + x, sample] = full[:d_max]
+    diag = {"steps": steps, "bounces": bounces, "draw_counts": draw_counts}
+    return image, tape, diag
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--mod", default="default")
+    ap.add_argument("--override", action="append", default=[],
+                    help="settings override key=value (value eval'd)")
+    ap.add_argument("--zero-roughness", action="store_true",
+                    help="zero all material roughness for a draw-free march")
+    ap.add_argument("--no-tape", action="store_true")
+    args = ap.parse_args()
+
+    out_path = os.path.abspath(args.out)
+    lib, data, Camera = load_reference(args.mod)
+    overrides = {}
+    for ov in args.override:
+        k, v = ov.split("=", 1)
+        overrides[k] = eval(v)  # noqa: S307 - trusted CLI input
+    apply_overrides(data, overrides)
+    if args.zero_roughness:
+        seen = set()
+        for obj in data.objects.values():
+            if obj.sprite:
+                for frame in obj.sprite.frames:
+                    for mat in list(frame.data3.values()) + list(frame.data6.values()):
+                        if id(mat) not in seen:
+                            seen.add(id(mat))
+                            mat.roughness = 0
+
+    cam = build_camera(lib, data, Camera)
+    image, tape, diag = render(lib, data, cam, record_tape=not args.no_tape)
+
+    payload = {
+        "image": image,
+        "steps": diag["steps"],
+        "bounces": diag["bounces"],
+        "draw_counts": diag["draw_counts"],
+        "cam_pos": np.array(data.player.cam_pos.array(), dtype=np.float64),
+        "cam_rot": np.array(
+            [data.player.cam_rot.x, data.player.cam_rot.y, data.player.cam_rot.z, data.player.cam_rot.w],
+            dtype=np.float64,
+        ),
+        "overrides": np.array(repr(overrides)),
+        "zero_roughness": np.array(args.zero_roughness),
+    }
+    if tape is not None:
+        payload["tape"] = tape
+    np.savez_compressed(out_path, **payload)
+    print(f"wrote {out_path}: image {image.shape}, "
+          f"mean steps {diag['steps'].mean():.1f}, mean bounces {diag['bounces'].mean():.2f}"
+          + (f", tape D={tape.shape[-1]}" if tape is not None else ""))
+
+
+if __name__ == "__main__":
+    main()
