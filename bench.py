@@ -1,0 +1,99 @@
+"""Benchmark: forward+backward ray throughput on the default scene (TPU).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <Mrays/s fwd+bwd>, "unit": "Mrays/s", "vs_baseline": ...}
+
+vs_baseline is value / 100.0 — the fraction of the BASELINE.json north star
+(>= 100 Mrays/s/chip fwd+bwd on the default scene). For context, the
+reference engine measures ~0.0063 Mrays/s forward-only on one CPU thread
+(BASELINE.md), so 1.0 here is ~7 orders of magnitude over the reference.
+
+Env knobs: BENCH_RAYS (batch size, default 24576), BENCH_ITERS (timed
+iterations, default 5), BENCH_FWD_ONLY=1 (skip backward).
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from python_raytracer_tpu.models.default import build_default_scene, default_settings
+    from python_raytracer_tpu.ops.camera import generate_rays, pixel_grid
+    from python_raytracer_tpu.ops.march import RayBatch, march
+    from python_raytracer_tpu.scene.compile import compile_scene
+
+    n_rays = int(os.environ.get("BENCH_RAYS", "24576"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    fwd_only = os.environ.get("BENCH_FWD_ONLY", "0") == "1"
+
+    st = default_settings().replace(exact=False, static=False)
+    scene = build_default_scene(st)
+    cam_pos = np.array(scene.player.cam_pos, np.float32)
+    cam_rot = np.array(scene.player.cam_rot, np.float32)
+    cs = compile_scene(scene, cam_pos=cam_pos)
+
+    dirs, detail = pixel_grid(st, jnp.float32)
+    reps = max(1, -(-n_rays // dirs.shape[0]))
+    dirs = jnp.tile(dirs, (reps, 1))[:n_rays]
+    detail = jnp.tile(detail, (reps,))[:n_rays]
+    key = jax.random.PRNGKey(0)
+    u_dof = jax.random.uniform(key, (n_rays, 2), jnp.float32)
+    rays = generate_rays(st, jnp.asarray(cam_pos), jnp.asarray(cam_rot), dirs, detail, u_dof)
+
+    if fwd_only:
+        def forward(table, rays):
+            arrays = dataclasses.replace(cs.arrays, material_table=table)
+            res = march(st, cs.spec, arrays, rays, key=key, background="sky", mode="while")
+            return jnp.mean(res.color / 255.0)
+
+        fn = jax.jit(forward)
+    else:
+        from python_raytracer_tpu.ops.diff import make_diff_renderer
+
+        renderer = make_diff_renderer(st, cs.spec, max_hits=16)
+
+        def forward(table, rays):
+            color, _ = renderer(table, cs.arrays, rays, key)
+            return jnp.mean(color / 255.0)
+
+        fn = jax.jit(jax.value_and_grad(forward))
+
+    table = cs.arrays.material_table
+    t0 = time.time()
+    out = fn(table, rays)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(table, rays)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+
+    mrays = n_rays / dt / 1e6
+    print(json.dumps({
+        "metric": "Mrays/s/chip fwd+bwd on default scene",
+        "value": round(mrays, 4),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 6),
+        "detail": {
+            "rays": n_rays,
+            "iters": iters,
+            "sec_per_iter": round(dt, 4),
+            "compile_sec": round(compile_s, 1),
+            "fwd_only": fwd_only,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Differentiable rendering via a custom VJP over the hit tape.
+
+Reverse-mode through the full march is expensive: a fixed-length scan must
+run ``dist_max`` iterations (192 on the stock config) even though the average
+ray performs ~2.6 material interactions (reference profile, SURVEY.md §6),
+and each replayed iteration re-gathers the voxel grid.
+
+This module implements the recompute-based backward from SURVEY.md §7
+(stage 5): the forward pass is the fast early-exit ``while`` march recording
+a compact per-hit tape (material id, applied jitter uniforms, IOR flip mask —
+ops/march.py HitRecords), and the backward pass differentiates a *replay* of
+the shading chain only — max_hits (default 16) cheap steps with no grid
+access. Gradients flow into the material table through exactly the arithmetic
+the reference's shaders define (lib.py:448-476): absorption falloff, albedo/
+emission blends, roughness-reparameterized velocity jitter, IOR velocity
+flips, and the sky background; the discrete trajectory (which voxels were
+hit, termination, flip selections) is frozen, matching the north star's
+"grads w.r.t. material params on fixed trajectories" (BASELINE.json).
+
+Rays whose hit count overflows max_hits fall back to truncated-replay
+gradients (their primal output is still exact); with the stock bounce budget
+(max_bounces=2, min absorption 0.25) overflow is impossible below 12 hits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from python_raytracer_tpu.config import Settings
+from python_raytracer_tpu.ops import programs as P
+from python_raytracer_tpu.ops.march import HitRecords, RayBatch, march
+from python_raytracer_tpu.scene import material as M
+from python_raytracer_tpu.scene.compile import GridSpec, SceneArrays
+from python_raytracer_tpu.utils.mathutils import cheb_normalize
+
+
+def _replay(table, settings: Settings, records: HitRecords, v0, background: Optional[str]):
+    """Re-run the shading chain from the hit tape. Produces bit-identical
+    color/energy to the forward march given the same records."""
+    n, h = records.vid.shape
+    dtype = v0.dtype
+
+    def hit_step(carry, rec):
+        color, energy, vel, bounces, idx = carry
+        vid, u, flip = rec
+        live = idx < records.count  # [N]
+        onehot = (vid[:, None] == jnp.arange(table.shape[0])[None, :]).astype(dtype)
+        rows = jnp.dot(onehot, table, preferred_element_type=dtype)
+        absorption = jnp.minimum(
+            1.0,
+            rows[:, M.PARAM_ABSORPTION] / (1.0 + bounces) ** (1.0 + settings.falloff),
+        )
+        albedo = rows[:, M.PARAM_ALBEDO_R : M.PARAM_ALBEDO_B + 1]
+        new_color = color * (1 - absorption[:, None]) + albedo * absorption[:, None]
+        new_energy = energy * (1 - absorption) + rows[:, M.PARAM_ENERGY] * absorption
+        jitter = (-1.0 + u * 2.0) * rows[:, M.PARAM_ROUGHNESS][:, None]
+        new_vel = cheb_normalize(vel + jitter)
+        ior = rows[:, M.PARAM_IOR]
+        for axis in range(3):
+            do_flip = ((flip >> axis) & 1) > 0
+            new_vel = new_vel.at[:, axis].set(
+                jnp.where(
+                    do_flip,
+                    new_vel[:, axis] - new_vel[:, axis] * ior * 2.0,
+                    new_vel[:, axis],
+                )
+            )
+        new_bounces = bounces + rows[:, M.PARAM_ABSORPTION]
+        color = jnp.where(live[:, None], new_color, color)
+        energy = jnp.where(live, new_energy, energy)
+        vel = jnp.where(live[:, None], new_vel, vel)
+        bounces = jnp.where(live, new_bounces, bounces)
+        return (color, energy, vel, bounces, idx + 1), None
+
+    init = (
+        jnp.zeros((n, 3), dtype),
+        jnp.zeros((n,), dtype),
+        v0,
+        jnp.zeros((n,), dtype),
+        jnp.zeros((), jnp.int32),
+    )
+    recs = (
+        jnp.moveaxis(records.vid, 1, 0),
+        jnp.moveaxis(records.u, 1, 0),
+        jnp.moveaxis(records.flip, 1, 0),
+    )
+    (color, energy, vel, bounces, _), _ = jax.lax.scan(hit_step, init, recs)
+
+    bg = P.resolve_background(background)
+    if bg is not None:
+        color, energy = bg(color, energy, vel, bounces, settings)
+        color = jnp.minimum(255.0, color * energy[:, None])
+    return color, energy
+
+
+def make_diff_renderer(
+    settings: Settings,
+    spec: GridSpec,
+    background: Optional[str] = "sky",
+    max_hits: int = 16,
+):
+    """Build ``render(table, arrays, rays, key) -> (color [N,3], energy [N])``
+    differentiable w.r.t. ``table`` with the while-march forward + hit-replay
+    backward. ``arrays.material_table`` is ignored in favor of ``table``."""
+    settings = settings.replace(exact=False)
+
+    def _forward(table, arrays: SceneArrays, rays: RayBatch, key):
+        arr = dataclasses.replace(arrays, material_table=table)
+        res = march(
+            settings, spec, arr, rays, key=key, background=background,
+            mode="while", record_hits=max_hits,
+        )
+        return (res.color, res.energy), (res.hits, rays.vel)
+
+    @jax.custom_vjp
+    def render(table, arrays, rays, key):
+        out, _ = _forward(table, arrays, rays, key)
+        return out
+
+    def render_fwd(table, arrays, rays, key):
+        out, (hits, v0) = _forward(table, arrays, rays, key)
+        return out, (table, hits, v0)
+
+    def render_bwd(residuals, g):
+        table, hits, v0 = residuals
+        _, vjp = jax.vjp(lambda t: _replay(t, settings, hits, v0, background), table)
+        (dtable,) = vjp(g)
+        return dtable, None, None, None
+
+    render.defvjp(render_fwd, render_bwd)
+    return render

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 from python_raytracer_tpu.config import Settings
 from python_raytracer_tpu.ops import programs as P
 from python_raytracer_tpu.scene import material as M
+from python_raytracer_tpu.scene import compile as C
 from python_raytracer_tpu.scene.compile import GridSpec, SceneArrays
 from python_raytracer_tpu.utils.mathutils import cheb_normalize, snapped
 
@@ -59,6 +60,18 @@ class RayBatch(NamedTuple):
     life: jnp.ndarray
 
 
+class HitRecords(NamedTuple):
+    """Compact per-hit tape recorded by the forward march (``record_hits``):
+    everything the backward pass needs to replay the shading chain without
+    touching the voxel grid (SURVEY.md §7 stage 5 "recompute-based backward
+    from saved per-bounce hit records")."""
+
+    vid: jnp.ndarray  # int32 [N, H] material id per hit
+    u: jnp.ndarray  # [N, H, 3] roughness-jitter uniforms actually applied
+    flip: jnp.ndarray  # int32 [N, H] IOR flip bitmask (bits 0..2 = x,y,z)
+    count: jnp.ndarray  # int32 [N] total hits (may exceed H on overflow)
+
+
 class MarchResult(NamedTuple):
     color: jnp.ndarray  # [N, 3] (post-background if enabled)
     energy: jnp.ndarray  # [N]
@@ -67,6 +80,7 @@ class MarchResult(NamedTuple):
     pos: jnp.ndarray  # [N, 3]
     vel: jnp.ndarray  # [N, 3]
     traversed: jnp.ndarray  # bool [CX*CY*CZ] (all-False when not recorded)
+    hits: Optional[HitRecords]  # populated when record_hits > 0
 
 
 class _State(NamedTuple):
@@ -85,52 +99,45 @@ class _State(NamedTuple):
     ptr: jnp.ndarray  # [N] tape pointer (tape mode) or iteration scratch
     traversed: jnp.ndarray  # [CX*CY*CZ] bool
     it: jnp.ndarray  # [] iteration counter
+    hits: Optional[HitRecords]  # hit tape buffers when record_hits > 0
 
 
 def _all3(x):
     return jnp.all(x, axis=-1)
 
 
-def _gather_cell(spec: GridSpec, baked_flat, fpos_i, valid):
-    """baked_ids[fpos] with out-of-range/invalid masked to 0."""
+def _fetch_word(spec: GridSpec, words, fpos_i):
+    """cell_word[fpos] as a single fast 1D gather; 0 outside the grid.
+
+    The word packs material id (zeroed in absent/culled chunks), the chunk's
+    LOD resolution and the Chebyshev empty-space distance — one gather per
+    march step instead of separate id/res/table lookups (TPU element gathers
+    are fast; row gathers are not — measured in bench notes).
+    """
     g = fpos_i - jnp.array(spec.origin, jnp.int32)
     in_grid = _all3((g >= 0) & (g < jnp.array(spec.shape, jnp.int32)))
     gsafe = jnp.clip(g, 0, jnp.array(spec.shape, jnp.int32) - 1)
     flat = (gsafe[..., 0] * spec.shape[1] + gsafe[..., 1]) * spec.shape[2] + gsafe[..., 2]
-    return jnp.where(valid & in_grid, baked_flat[flat], 0)
+    return jnp.where(in_grid, words[flat], 0)
 
 
-def _chunk_res_at(spec: GridSpec, chunk_res_flat, cmin):
-    """chunk_res at a chunk lower corner (world coords, float). Returns 0 for
-    chunks outside the compiled grid."""
-    ci = ((cmin - jnp.array(spec.origin, cmin.dtype)) / spec.chunk_size).astype(jnp.int32)
-    cshape = jnp.array(spec.chunk_shape, jnp.int32)
-    in_grid = _all3((ci >= 0) & (ci < cshape))
-    csafe = jnp.clip(ci, 0, cshape - 1)
-    flat = (csafe[..., 0] * spec.chunk_shape[1] + csafe[..., 1]) * spec.chunk_shape[2] + csafe[..., 2]
-    return jnp.where(in_grid, chunk_res_flat[flat], 0), ci, in_grid
-
-
-def _neighbor_id(spec, arrays, npos, cmin, cmax, cres):
+def _neighbor_id_cls(spec, arrays, npos, cmin, cmax, cres):
     """Neighbor voxel id for the IOR reflection test (reference init.py:97-105).
 
-    Uses the active chunk when npos lies in its closed box, else the chunk
-    containing npos (reference chunk_get, init.py:28-33), honoring each
-    chunk's own content bounds.
+    The cell word already carries 0 for cells in absent/culled chunks, so the
+    reference's chunk_get path (init.py:28-33) collapses to a word fetch; the
+    only extra rule is the active-chunk hysteresis: when npos lies in the
+    active chunk's closed box, content beyond its cell range must read as
+    empty (the boundary-miss quirk of Frame lookups through a stale chunk).
     """
     cs = spec.chunk_size
     nf = jnp.floor(npos).astype(jnp.int32)
+    word = _fetch_word(spec, arrays.cell_word, nf)
+    n_id = word & C.WORD_ID_MASK
+    n_cls = (word >> C.WORD_IORCLS_SHIFT) & C.WORD_IORCLS_MASK
     in_active = _all3((npos >= cmin) & (npos <= cmax))
-    # Active-chunk path: content cells are [cmin, cmin + cs - 1].
-    act_ok = (cres > 0) & _all3(nf <= cmin.astype(jnp.int32) + (cs - 1)) & _all3(
-        nf >= cmin.astype(jnp.int32)
-    )
-    # Other-chunk path: the chunk containing npos.
-    n_cmin = snapped(npos, float(cs))
-    n_res, _, _ = _chunk_res_at(spec, arrays.chunk_res, n_cmin)
-    other_ok = n_res > 0
-    ok = jnp.where(in_active, act_ok, other_ok)
-    return _gather_cell(spec, arrays.baked_ids, nf, ok)
+    beyond_active = in_active & (~_all3(nf <= cmin.astype(jnp.int32) + (cs - 1)) | (cres == 0))
+    return jnp.where(beyond_active, 0, n_id), n_cls
 
 
 def march(
@@ -146,6 +153,7 @@ def march(
     background: Optional[str] = "sky",
     mode: str = "while",
     record_traversed: bool = False,
+    record_hits: int = 0,
 ) -> MarchResult:
     """March a batch of rays to completion. See module docstring."""
     n = rays.pos.shape[0]
@@ -182,12 +190,21 @@ def march(
         new_cmin = snapped(pos, cs)
         cmin = jnp.where(switch[:, None], new_cmin, state.cmin)
         cmax = jnp.where(switch[:, None], new_cmin + cs, state.cmax)
-        res_new, ci, ci_in_grid = _chunk_res_at(spec, arrays.chunk_res, cmin)
+
+        # One cell-word fetch serves this entire iteration: the chunk's
+        # resolution (floor(pos) always lies in the freshly-snapped chunk, so
+        # its word carries the active chunk's res), the voxel id, and the
+        # empty-space skip distance.
+        fpos = jnp.floor(pos).astype(jnp.int32)
+        word = _fetch_word(spec, arrays.cell_word, fpos)
+        res_new = (word >> C.WORD_RES_SHIFT) & C.WORD_RES_MASK
         cres = jnp.where(switch, res_new, state.cres)
 
         traversed = state.traversed
         if record_traversed:
-            mark = switch & ci_in_grid
+            ci = ((cmin - jnp.array(spec.origin, dtype)) / cs).astype(jnp.int32)
+            cshape = jnp.array(spec.chunk_shape, jnp.int32)
+            mark = switch & _all3((ci >= 0) & (ci < cshape))
             flat = (
                 jnp.clip(ci[:, 0], 0, spec.chunk_shape[0] - 1) * spec.chunk_shape[1]
                 + jnp.clip(ci[:, 1], 0, spec.chunk_shape[1] - 1)
@@ -196,13 +213,17 @@ def march(
 
         # -- 2. voxel fetch (init.py:76-77) --
         has_chunk = cres > 0
-        fpos = jnp.floor(pos).astype(jnp.int32)
         in_content = _all3(fpos <= cmin.astype(jnp.int32) + (settings.chunk_size - 1))
-        vid = _gather_cell(spec, arrays.baked_ids, fpos, alive & has_chunk & in_content)
+        vid = jnp.where(alive & has_chunk & in_content, word & C.WORD_ID_MASK, 0)
         hit = vid > 0
 
         # -- 3. material program (init.py:81-86, lib.py:448-460) --
-        rows = table[vid]
+        # Material row fetch as a one-hot matmul: [N, K] x [K, P] on the MXU.
+        # Exact (single 1.0 per row selects the row bit-for-bit) and far
+        # faster than TPU dynamic row gathers; also gives the backward pass a
+        # clean transposed-matmul gradient into the table.
+        onehot = (vid[:, None] == jnp.arange(table.shape[0])[None, :]).astype(dtype)
+        rows = jnp.dot(onehot, table, preferred_element_type=dtype)
         mat = P.MatParams(
             albedo=rows[:, M.PARAM_ALBEDO_R : M.PARAM_ALBEDO_B + 1],
             roughness=rows[:, M.PARAM_ROUGHNESS],
@@ -210,7 +231,7 @@ def march(
             ior=rows[:, M.PARAM_IOR],
             energy=rows[:, M.PARAM_ENERGY],
         )
-        has_rough = arrays.has_roughness[vid] > 0
+        has_rough = ((word >> C.WORD_ROUGH_SHIFT) & 1) > 0
         u = draws_for_iteration(state)
         u = jnp.where((hit & has_rough)[:, None], u, 0.5)  # rand() center when no draw
         ray_view = P.HitRay(
@@ -253,31 +274,74 @@ def march(
         )
 
         # -- 4. IOR face reflection (init.py:88-111) --
-        do_ior = hit & ~term & (arrays.has_ior[vid] > 0)
+        # "Same IOR" neighbor equality (init.py:106) compares via the discrete
+        # IOR classes packed in the cell words — no extra table gathers.
+        iorcls = (word >> C.WORD_IORCLS_SHIFT) & C.WORD_IORCLS_MASK
+        do_ior = hit & ~term & (iorcls != 0)
         direction = (mat.ior - 0.5) * 2.0
         units = jnp.eye(3, dtype=dtype)
         new_vel = vel
-        n_ids = []
+        flips = []
         for axis in range(3):
             toward = vel[:, axis] < direction
             npos = jnp.where(toward[:, None], pos + units[axis], pos - units[axis])
-            n_ids.append(_neighbor_id(spec, arrays, npos, cmin, cmax, cres))
+            n_id, n_cls = _neighbor_id_cls(spec, arrays, npos, cmin, cmax, cres)
+            flips.append((n_id == 0) | (n_cls != iorcls))
         for axis in range(3):
-            n_ior = table[n_ids[axis], M.PARAM_IOR]
-            flip = (n_ids[axis] == 0) | (n_ior != mat.ior)
             delta = new_vel[:, axis] - new_vel[:, axis] * mat.ior * 2.0
             new_vel = new_vel.at[:, axis].set(
-                jnp.where(do_ior & flip, delta, new_vel[:, axis])
+                jnp.where(do_ior & flips[axis], delta, new_vel[:, axis])
             )
         vel = new_vel
 
-        # -- 5. advance or void skip (init.py:113-116) --
+        hits_rec = state.hits
+        if record_hits:
+            # Record via one-hot selects over the (small) hit axis instead of
+            # scatters — pure VPU elementwise work, no scatter HLO.
+            cnt = hits_rec.count
+            sel = (jnp.arange(record_hits)[None, :] == cnt[:, None]) & (hit & (cnt < record_hits))[:, None]
+            flip_bits = jnp.where(do_ior, (
+                flips[0].astype(jnp.int32)
+                | (flips[1].astype(jnp.int32) << 1)
+                | (flips[2].astype(jnp.int32) << 2)
+            ), 0)
+            hits_rec = HitRecords(
+                vid=jnp.where(sel, vid[:, None], hits_rec.vid),
+                u=jnp.where(sel[:, :, None], u[:, None, :], hits_rec.u),
+                flip=jnp.where(sel, flip_bits[:, None], hits_rec.flip),
+                count=cnt + hit.astype(jnp.int32),
+            )
+
+        # -- 5. advance (init.py:113-116) --
+        # Inside a chunk the reference steps by the chunk resolution; we take
+        # s lattice steps at once where s is bounded by (a) the cell's
+        # Chebyshev distance to the nearest renderable voxel (no hit can occur
+        # in between) and (b) the first lattice point outside the active
+        # chunk's closed box (so the step lattice — and therefore every future
+        # voxel hit — stays bit-identical to the reference's step-by-step
+        # walk; only the unobservable final overshoot position may differ).
+        # Outside chunks the reference's void-skip formula applies unchanged.
         adv = alive & ~term
+        skip_d = (word >> C.WORD_SKIP_SHIFT) & C.WORD_SKIP_MASK
+        cres_safe = jnp.maximum(cres, 1)
+        s_free = jnp.maximum(1, (skip_d - 1) // cres_safe)
+        # lattice steps until the first point outside the closed box
+        denom = vel * cres_safe.astype(dtype)[:, None]
+        bound = jnp.where(vel > 0, cmax, cmin)
+        t_axis = jnp.where(
+            jnp.abs(denom) > 1e-12, (bound - pos) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1), jnp.inf
+        )
+        k_exit = jnp.floor(jnp.min(t_axis, axis=-1)).astype(jnp.int32) + 1
+        n_steps = jnp.clip(jnp.minimum(s_free, k_exit), 1, None)
         void_step = 1.0 + jnp.abs(
             settings.chunk_radius
             - jnp.mod(jnp.min(pos, axis=-1) + settings.chunk_radius, cs)
         )
-        step_len = jnp.where(has_chunk, cres.astype(dtype), void_step.astype(dtype))
+        step_len = jnp.where(
+            has_chunk,
+            (n_steps * cres_safe).astype(dtype),
+            void_step.astype(dtype),
+        )
         pos = jnp.where(adv[:, None], pos + vel * step_len[:, None], pos)
         step = jnp.where(adv, state.step + step_len, state.step)
 
@@ -285,7 +349,7 @@ def march(
         return _State(
             pos=pos, vel=vel, color=color, energy=energy, step=step, life=life,
             bounces=bounces, alive=alive, cmin=cmin, cmax=cmax, cres=cres, ptr=ptr,
-            traversed=traversed, it=state.it + 1,
+            traversed=traversed, it=state.it + 1, hits=hits_rec,
         )
 
     zero = jnp.zeros((n,), dtype)
@@ -304,6 +368,16 @@ def march(
         ptr=(tape_ptr if use_tape else jnp.zeros((n,), jnp.int32)),
         traversed=jnp.zeros((spec.num_chunks,), bool),
         it=jnp.zeros((), jnp.int32),
+        hits=(
+            HitRecords(
+                vid=jnp.zeros((n, record_hits), jnp.int32),
+                u=jnp.full((n, record_hits, 3), 0.5, dtype),
+                flip=jnp.zeros((n, record_hits), jnp.int32),
+                count=jnp.zeros((n,), jnp.int32),
+            )
+            if record_hits
+            else None
+        ),
     )
 
     if mode == "while":
@@ -311,8 +385,14 @@ def march(
             lambda s: jnp.any(s.alive) & (s.it < max_iters), body, init
         )
     elif mode == "scan":
+        # Rematerialize each step in the backward pass: only the carried state
+        # is saved per iteration, every gather/shade intermediate is recomputed
+        # — the recompute-based backward of SURVEY.md §7 stage 5, trading
+        # FLOPs for HBM exactly as jax.checkpoint is designed to.
+        ck_body = jax.checkpoint(body, prevent_cse=False)
+
         def scan_body(s, _):
-            return body(s), None
+            return ck_body(s), None
 
         final, _ = jax.lax.scan(scan_body, init, None, length=max_iters)
     else:
@@ -338,4 +418,5 @@ def march(
         pos=final.pos,
         vel=final.vel,
         traversed=final.traversed,
+        hits=final.hits,
     )

@@ -1,0 +1,94 @@
+"""Differentiable rendering + the sharded training step.
+
+The north-star task (BASELINE.json): gradients of the rendered image w.r.t.
+the material parameter table (albedo/roughness/absorption/ior/energy), with
+rays data-parallel over the device mesh and the table gradient all-reduced
+(psum) across shards — the TPU replacement for a capability the reference
+has none of (it is a forward-only CPU renderer).
+
+Differentiation strategy (SURVEY.md §7 "hard parts"):
+* the march runs in ``scan`` mode (static trip count) so reverse-mode is
+  well-defined;
+* trajectories (which voxels get hit, termination) are discrete and receive
+  no gradient — gradients flow through the color/energy/life arithmetic of
+  the material programs (reference lib.py:456-459 algebra), matching the
+  north-star's "grads w.r.t. material params on fixed trajectories";
+* exact-mode integer rounding is disabled (settings.exact=False) for a
+  smooth forward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from python_raytracer_tpu.config import Settings
+from python_raytracer_tpu.ops.march import RayBatch, march
+from python_raytracer_tpu.scene.compile import GridSpec, SceneArrays
+
+
+def render_colors(settings: Settings, spec: GridSpec, arrays: SceneArrays,
+                  rays: RayBatch, key=None, background="sky") -> jnp.ndarray:
+    """Differentiable forward: ray colors in [0, 255] floats ([N, 3])."""
+    assert not settings.exact, "differentiable path needs settings.exact=False"
+    res = march(settings, spec, arrays, rays, key=key, background=background, mode="scan")
+    return res.color
+
+
+def image_loss(table, settings, spec, arrays, rays, target, key=None):
+    """Mean squared error in [0,1] color space w.r.t. the material table."""
+    arr = dataclasses.replace(arrays, material_table=table)
+    colors = render_colors(settings, spec, arr, rays, key=key)
+    return jnp.mean((colors / 255.0 - target) ** 2)
+
+
+def make_train_step(settings: Settings, spec: GridSpec,
+                    optimizer: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None, max_hits: int = 16):
+    """Build a jitted train step. With a mesh, rays are sharded on the batch
+    axis ('data') and everything else is replicated; jit inserts the psum for
+    the table gradient.
+
+    Uses the hit-tape custom VJP (ops/diff.py): early-exit forward march +
+    hit-replay backward, verified gradient-identical to scan autodiff in
+    tests/test_grad.py."""
+    from python_raytracer_tpu.ops.diff import make_diff_renderer
+
+    settings = settings.replace(exact=False)
+    renderer = make_diff_renderer(settings, spec, max_hits=max_hits)
+
+    def step(arrays: SceneArrays, opt_state, rays: RayBatch, target, key):
+        def loss_fn(table):
+            color, _energy = renderer(table, arrays, rays, key)
+            return jnp.mean((color / 255.0 - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(arrays.material_table)
+        updates, opt_state = optimizer.update(grads, opt_state, arrays.material_table)
+        table = optax.apply_updates(arrays.material_table, updates)
+        return dataclasses.replace(arrays, material_table=table), opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step)
+
+    shard = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    arrays_sh = SceneArrays(
+        world_ids=repl, baked_ids=repl, chunk_res=repl, cell_word=repl,
+        material_table=repl, has_roughness=repl, has_ior=repl, program=repl,
+        mat_bits=repl,
+    )
+    in_shardings = (
+        arrays_sh,
+        repl,  # opt_state (small pytree, replicated)
+        RayBatch(pos=shard, vel=shard, life=shard),
+        shard,  # target colors [N, 3]
+        repl,  # key
+    )
+    out_shardings = (arrays_sh, repl, repl)
+    return jax.jit(step, in_shardings=in_shardings, out_shardings=out_shardings)

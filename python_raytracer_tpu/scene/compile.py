@@ -71,6 +71,23 @@ class GridSpec:
         return (cx * c[1] + cy) * c[2] + cz
 
 
+# cell_word bit layout: one int32 per grid cell carrying everything the
+# marcher needs in a single 1D gather (TPU gathers of full rows are slow;
+# element gathers are fast — see bench notes in ops/march.py).
+WORD_ID_BITS = 12          # material id (0 = empty / inactive chunk)
+WORD_RES_BITS = 3          # chunk resolution 0..7 (0 = no chunk)
+WORD_SKIP_BITS = 5         # Chebyshev empty-space distance, capped
+WORD_ID_MASK = (1 << WORD_ID_BITS) - 1
+WORD_RES_SHIFT = WORD_ID_BITS
+WORD_RES_MASK = (1 << WORD_RES_BITS) - 1
+WORD_SKIP_SHIFT = WORD_ID_BITS + WORD_RES_BITS
+WORD_SKIP_MASK = (1 << WORD_SKIP_BITS) - 1
+WORD_IORCLS_SHIFT = 20     # 4-bit IOR equality class (0 = ior 0 / no branch)
+WORD_IORCLS_MASK = 0xF
+WORD_ROUGH_SHIFT = 24      # 1 bit: authored roughness != 0 (RNG draw count)
+SKIP_CAP = 15              # max useful skip distance (<= chunk_size)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SceneArrays:
@@ -80,10 +97,12 @@ class SceneArrays:
     world_ids: jax.Array  # uint16 [X, Y, Z]
     baked_ids: jax.Array  # int32 flat [X*Y*Z]
     chunk_res: jax.Array  # int32 flat [CX*CY*CZ]
+    cell_word: jax.Array  # int32 flat [X*Y*Z]: id | res<<12 | skip<<15
     material_table: jax.Array  # float32 [K, NUM_PARAMS]
     has_roughness: jax.Array  # int32 [K]
     has_ior: jax.Array  # int32 [K]
     program: jax.Array  # int32 [K]
+    mat_bits: jax.Array  # int32 [K]: ior_class | has_roughness << 4
 
 
 @dataclasses.dataclass
@@ -160,7 +179,8 @@ def build_world_ids(scene: Scene, spec: GridSpec, registry: MaterialRegistry,
     return world
 
 
-def bake_chunks(spec: GridSpec, settings: Settings, world_ids, cam_pos, traversed):
+def bake_chunks(spec: GridSpec, settings: Settings, world_ids, cam_pos, traversed,
+                mat_bits=None):
     """Device-side chunk LOD select + culling + LOD bake (jittable).
 
     Args:
@@ -215,7 +235,46 @@ def bake_chunks(spec: GridSpec, settings: Settings, world_ids, cam_pos, traverse
     src_g = src_w - iorigin
     src_flat = (src_g[..., 0] * Y + src_g[..., 1]) * Z + src_g[..., 2]
     baked = jnp.where(valid, world_ids.reshape(-1)[src_flat].astype(jnp.int32), 0)
-    return baked.reshape(-1), chunk_res.reshape(-1)
+
+    # Pack the marcher's per-cell word: id (zeroed in inactive chunks so the
+    # marcher and the skip field see only renderable voxels), the chunk's
+    # resolution, and the Chebyshev distance to the nearest renderable voxel
+    # for empty-space skipping (the dense generalization of the reference's
+    # void skip, init.py:114).
+    active_cell = jnp.repeat(jnp.repeat(jnp.repeat(chunk_res, cs, 0), cs, 1), cs, 2)
+    vis_id = jnp.where(active_cell > 0, baked, 0)
+    skip = _cheb_distance(vis_id > 0, SKIP_CAP)
+    word = vis_id | (active_cell << WORD_RES_SHIFT) | (skip << WORD_SKIP_SHIFT)
+    if mat_bits is not None:
+        # Per-material discrete bits (IOR class, roughness flag) folded into
+        # the word so the marcher needs no per-material flag gathers.
+        word = word | (mat_bits[vis_id] << WORD_IORCLS_SHIFT)
+    return baked.reshape(-1), chunk_res.reshape(-1), word.reshape(-1)
+
+
+def _cheb_distance(occupied, cap: int):
+    """Chebyshev distance transform, clamped to ``cap``.
+
+    Iterative relaxation: D <- min(D, 3x3x3-minpool(D) + 1), done with three
+    separable 1D min reduce_windows per round; after k rounds distances up to
+    k are exact, everything farther saturates at cap.
+    """
+    big = jnp.int32(cap)
+    d = jnp.where(occupied, jnp.int32(0), big)
+
+    def minpool1(x, axis):
+        return jax.lax.reduce_window(
+            x, jnp.int32(2**30), jax.lax.min,
+            window_dimensions=[3 if i == axis else 1 for i in range(3)],
+            window_strides=[1, 1, 1],
+            padding=[(1, 1) if i == axis else (0, 0) for i in range(3)],
+        )
+
+    def body(_, d):
+        m = minpool1(minpool1(minpool1(d, 0), 1), 2)
+        return jnp.minimum(d, jnp.minimum(m + 1, big))
+
+    return jax.lax.fori_loop(0, cap, body, d)
 
 
 def compile_scene(scene: Scene, margin_chunks: int = 2, cam_pos=None,
@@ -231,6 +290,7 @@ def compile_scene(scene: Scene, margin_chunks: int = 2, cam_pos=None,
     world = build_world_ids(scene, spec, registry, cam_pos)
     table = registry.table()
     flags = registry.flags()
+    mat_bits = flags["ior_class"] | (flags["has_roughness"] << 4)
 
     if traversed is None:
         traversed_arr = jnp.ones(spec.chunk_shape, dtype=bool)
@@ -239,16 +299,18 @@ def compile_scene(scene: Scene, margin_chunks: int = 2, cam_pos=None,
     cam = jnp.zeros((3,), jnp.float32) if cam_pos is None else jnp.asarray(cam_pos, jnp.float32)
 
     world_dev = jnp.asarray(world)
-    baked, chunk_res = jax.jit(bake_chunks, static_argnums=(0, 1))(
-        spec, scene.settings, world_dev, cam, traversed_arr
+    baked, chunk_res, cell_word = jax.jit(bake_chunks, static_argnums=(0, 1))(
+        spec, scene.settings, world_dev, cam, traversed_arr, jnp.asarray(mat_bits)
     )
     arrays = SceneArrays(
         world_ids=world_dev,
         baked_ids=baked,
         chunk_res=chunk_res,
+        cell_word=cell_word,
         material_table=jnp.asarray(table),
         has_roughness=jnp.asarray(flags["has_roughness"]),
         has_ior=jnp.asarray(flags["has_ior"]),
         program=jnp.asarray(flags["program"]),
+        mat_bits=jnp.asarray(mat_bits),
     )
     return CompiledScene(spec=spec, arrays=arrays, registry=registry, background=scene.background)

@@ -137,11 +137,33 @@ class MaterialRegistry:
         has_roughness = np.zeros((n,), dtype=np.int32)
         has_ior = np.zeros((n,), dtype=np.int32)
         program = np.zeros((n,), dtype=np.int32)
+        ior_class = np.zeros((n,), dtype=np.int32)
         from python_raytracer_tpu.ops.programs import resolve_program
 
+        # IOR equality classes: the reference's neighbor test compares IOR
+        # values for equality (init.py:106, "same IOR = solid neighbor").
+        # Equality of authored floats is a discrete relation, so it compiles
+        # to small integer classes packed into the cell word (class 0 is
+        # reserved for ior == 0, which also encodes "no IOR branch",
+        # init.py:92). Frozen at compile time — recompile after editing IOR.
+        classes = {0.0: 0}
         for i, mat in enumerate(self._materials):
             if mat is not None:
                 has_roughness[i] = 1 if mat.roughness else 0
                 has_ior[i] = 1 if mat.ior else 0
                 program[i] = resolve_program(mat.function)
-        return {"has_roughness": has_roughness, "has_ior": has_ior, "program": program}
+                key = float(mat.ior)
+                if key not in classes:
+                    classes[key] = len(classes)
+                ior_class[i] = classes[key]
+        if len(classes) > 16:
+            raise ValueError(
+                f"{len(classes)} distinct IOR values exceed the 4-bit cell-word "
+                "class budget; merge IOR values or widen WORD_IORCLS bits"
+            )
+        return {
+            "has_roughness": has_roughness,
+            "has_ior": has_ior,
+            "program": program,
+            "ior_class": ior_class,
+        }
