@@ -30,7 +30,7 @@ def main():
     from python_raytracer_tpu.ops.march import RayBatch, march
     from python_raytracer_tpu.scene.compile import compile_scene
 
-    n_rays = int(os.environ.get("BENCH_RAYS", "24576"))
+    n_rays = int(os.environ.get("BENCH_RAYS", "393216"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     fwd_only = os.environ.get("BENCH_FWD_ONLY", "0") == "1"
 

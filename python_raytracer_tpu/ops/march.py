@@ -279,14 +279,17 @@ def march(
         iorcls = (word >> C.WORD_IORCLS_SHIFT) & C.WORD_IORCLS_MASK
         do_ior = hit & ~term & (iorcls != 0)
         direction = (mat.ior - 0.5) * 2.0
-        units = jnp.eye(3, dtype=dtype)
         new_vel = vel
         flips = []
         for axis in range(3):
+            # Which neighbor is tested depends on the ray direction
+            # (init.py:94-96): + neighbor when vel < (ior-0.5)*2, else -.
             toward = vel[:, axis] < direction
-            npos = jnp.where(toward[:, None], pos + units[axis], pos - units[axis])
-            n_id, n_cls = _neighbor_id_cls(spec, arrays, npos, cmin, cmax, cres)
-            flips.append((n_id == 0) | (n_cls != iorcls))
+            bit = C.WORD_FACE_SHIFT + axis * 2
+            face_flip = jnp.where(
+                toward, (word >> bit) & 1, (word >> (bit + 1)) & 1
+            )
+            flips.append(face_flip > 0)
         for axis in range(3):
             delta = new_vel[:, axis] - new_vel[:, axis] * mat.ior * 2.0
             new_vel = new_vel.at[:, axis].set(

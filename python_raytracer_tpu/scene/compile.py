@@ -85,6 +85,8 @@ WORD_SKIP_MASK = (1 << WORD_SKIP_BITS) - 1
 WORD_IORCLS_SHIFT = 20     # 4-bit IOR equality class (0 = ior 0 / no branch)
 WORD_IORCLS_MASK = 0xF
 WORD_ROUGH_SHIFT = 24      # 1 bit: authored roughness != 0 (RNG draw count)
+WORD_FACE_SHIFT = 25       # 6 bits: per-face IOR flip decision, precomputed
+# face bit index = WORD_FACE_SHIFT + axis*2 + (0 if + neighbor else 1)
 SKIP_CAP = 15              # max useful skip distance (<= chunk_size)
 
 
@@ -248,7 +250,31 @@ def bake_chunks(spec: GridSpec, settings: Settings, world_ids, cam_pos, traverse
     if mat_bits is not None:
         # Per-material discrete bits (IOR class, roughness flag) folded into
         # the word so the marcher needs no per-material flag gathers.
-        word = word | (mat_bits[vis_id] << WORD_IORCLS_SHIFT)
+        cellbits = mat_bits[vis_id]
+        word = word | (cellbits << WORD_IORCLS_SHIFT)
+
+        # Precomputed per-face IOR flip decisions (reference init.py:97-111):
+        # for each of the 6 axis neighbors, flip iff the neighbor is empty or
+        # its IOR differs ("a material considers its neighbors solid if they
+        # have the same IOR", init.py:89). A hit cell always lies inside its
+        # chunk's content, so its neighbors read their true cells — the
+        # active-chunk hysteresis can only differ at measure-zero exact
+        # boundary positions (analysis in ops/march.py notes). This removes
+        # every neighbor gather from the march inner loop.
+        cls_grid = cellbits & WORD_IORCLS_MASK
+        occ = vis_id > 0
+        for axis in range(3):
+            for sign_idx, shift in ((0, +1), (1, -1)):  # bit 0: + neighbor
+                # neighbor value at p is grid[p + (+1|-1) on axis]
+                n_occ = jnp.roll(occ, -shift, axis=axis)
+                n_cls = jnp.roll(cls_grid, -shift, axis=axis)
+                # roll wraps; mask the wrapped border to "empty neighbor"
+                idx = jax.lax.broadcasted_iota(jnp.int32, occ.shape, axis)
+                dim = occ.shape[axis]
+                valid = (idx + shift >= 0) & (idx + shift < dim)
+                flip = (~n_occ) | (n_cls != cls_grid) | (~valid)
+                bit = WORD_FACE_SHIFT + axis * 2 + sign_idx
+                word = word | (flip.astype(jnp.int32) << bit)
     return baked.reshape(-1), chunk_res.reshape(-1), word.reshape(-1)
 
 
