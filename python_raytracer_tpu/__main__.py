@@ -1,0 +1,51 @@
+"""Engine entry point: ``python -m python_raytracer_tpu [mod]``.
+
+The TPU equivalent of the reference's ``python3 init.py [mod]`` boot
+(reference ``data.py:15`` mod selection, ``init.py:474`` window start):
+loads the mod, compiles the scene, and starts the interactive viewer — or a
+headless N-frame run with ``--headless``.
+"""
+
+import argparse
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser(prog="python_raytracer_tpu")
+    ap.add_argument("mod", nargs="?", default="default")
+    ap.add_argument("--headless", type=int, metavar="FRAMES", default=0,
+                    help="render N frames without a window, save the last to PNG")
+    ap.add_argument("--out", default="frame.png")
+    args = ap.parse_args()
+
+    from python_raytracer_tpu.modapi import load_mod
+    from python_raytracer_tpu.runtime.engine import Engine
+
+    scene = load_mod(args.mod)
+    engine = Engine(scene)
+
+    if args.headless:
+        import numpy as np
+
+        image = engine.run(args.headless)
+        if image is not None:
+            import os
+
+            os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+            import pygame as pg
+
+            surf = pg.Surface((image.shape[1], image.shape[0]))
+            pg.surfarray.blit_array(
+                surf, np.clip(image[..., :3], 0, 255).astype(np.uint8).transpose(1, 0, 2)
+            )
+            pg.image.save(surf, args.out)
+            print(f"rendered {args.headless} frames -> {args.out}")
+        return
+
+    from python_raytracer_tpu.runtime.viewer import run_viewer
+
+    run_viewer(engine)
+
+
+if __name__ == "__main__":
+    main()

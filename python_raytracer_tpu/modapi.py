@@ -1,0 +1,200 @@
+"""Mod API: load reference-format mods into a Scene.
+
+The reference's content pipeline is a mod directory ``mods/<name>/`` holding
+``config.cfg`` + ``init.py``; the init script is imported for side effects
+after settings exist and builds the scene through ``data.Material`` /
+``data.Sprite`` / ``data.Object``, ``lib`` math types and the builtin shader
+symbols, finally assigning ``data.player`` and ``data.background``
+(reference ``data.py:14-17,627``, authoring ABI ``README.md:110-124``).
+
+This module provides that exact authoring surface over the TPU scene layer:
+``load_mod`` executes the mod script with shim ``lib``/``data`` modules whose
+names resolve to the TPU classes, so reference-style mods run unmodified.
+Material ``function`` callbacks map to vectorized material programs
+(ops/programs.py) — the builtin ``material``/``material_background`` symbols
+are provided; custom per-hit Python callbacks must be re-registered as
+programs via ``register_program`` (they cannot run inside a TPU kernel).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import types
+from typing import Optional
+
+from python_raytracer_tpu.config import Settings
+from python_raytracer_tpu.scene import Frame, Material, Object, Scene, Sprite
+from python_raytracer_tpu.scene.material import rgb as _rgb_tuple
+
+
+class vec2:
+    """Minimal authoring 2D vector (reference lib.py:13-163 surface)."""
+
+    __slots__ = ("x", "y")
+
+    def __init__(self, x, y):
+        self.x, self.y = x, y
+
+    def __getitem__(self, i):
+        return (self.x, self.y)[i]
+
+    def __iter__(self):
+        return iter((self.x, self.y))
+
+    def __len__(self):
+        return 2
+
+    def array(self):
+        return [self.x, self.y]
+
+    def tuple(self):
+        return (self.x, self.y)
+
+
+class vec3:
+    """Minimal authoring 3D vector (reference lib.py:166-338 surface)."""
+
+    __slots__ = ("x", "y", "z")
+
+    def __init__(self, x, y, z):
+        self.x, self.y, self.z = x, y, z
+
+    def __getitem__(self, i):
+        return (self.x, self.y, self.z)[i]
+
+    def __iter__(self):
+        return iter((self.x, self.y, self.z))
+
+    def __len__(self):
+        return 3
+
+    def _bin(self, other, op):
+        if isinstance(other, vec3):
+            return vec3(op(self.x, other.x), op(self.y, other.y), op(self.z, other.z))
+        return vec3(op(self.x, other), op(self.y, other), op(self.z, other))
+
+    def __add__(self, o):
+        return self._bin(o, lambda a, b: a + b)
+
+    def __sub__(self, o):
+        return self._bin(o, lambda a, b: a - b)
+
+    def __mul__(self, o):
+        return self._bin(o, lambda a, b: a * b)
+
+    def __truediv__(self, o):
+        return self._bin(o, lambda a, b: a / b)
+
+    def __floordiv__(self, o):
+        return self._bin(o, lambda a, b: a // b)
+
+    def __neg__(self):
+        return vec3(-self.x, -self.y, -self.z)
+
+    def array(self):
+        return [self.x, self.y, self.z]
+
+    def tuple(self):
+        return (self.x, self.y, self.z)
+
+    def mins(self):
+        return min(self.x, self.y, self.z)
+
+    def maxs(self):
+        return max(self.x, self.y, self.z)
+
+    def distance(self, other):
+        return math.dist(self.array(), [other[0], other[1], other[2]])
+
+
+def rgb(r, g, b):
+    return _rgb_tuple(r, g, b)
+
+
+def material(ray, mat, settings):  # pragma: no cover - marker symbol
+    """Marker for the builtin PBR material program (reference lib.py:448-460).
+
+    Mods assign ``function = material``; the scene compiler maps it to the
+    vectorized PBR program. Calling it directly is not supported on TPU.
+    """
+    raise RuntimeError("builtin material program marker; not host-callable")
+
+
+def material_background(ray, settings):  # pragma: no cover - marker symbol
+    """Marker for the builtin sky background (reference lib.py:463-476)."""
+    raise RuntimeError("builtin background program marker; not host-callable")
+
+
+def default_mods_root() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "mods")
+
+
+def load_mod(
+    mod: str = "default",
+    mods_root: Optional[str] = None,
+    settings: Optional[Settings] = None,
+) -> Scene:
+    """Execute ``mods/<mod>/init.py`` reference-style and return the Scene.
+
+    ``settings`` overrides the mod's config.cfg (used by tests/tools to vary
+    render settings while keeping the scene content)."""
+    root = mods_root or default_mods_root()
+    mod_dir = os.path.join(root, mod)
+    cfg_path = os.path.join(mod_dir, "config.cfg")
+    if settings is None:
+        settings = Settings.from_cfg(cfg_path) if os.path.exists(cfg_path) else Settings()
+
+    scene = Scene(settings)
+
+    # lib shim: the reference mod preamble is `from lib import *`
+    lib_mod = types.ModuleType("python_raytracer_tpu._mod_lib")
+    lib_mod.vec2 = vec2
+    lib_mod.vec3 = vec3
+    lib_mod.rgb = rgb
+    lib_mod.material = material
+    lib_mod.material_background = material_background
+
+    # data shim: scene classes + settings + player/background assignment slots
+    data_mod = types.ModuleType("python_raytracer_tpu._mod_data")
+    data_mod.settings = settings
+    data_mod.Material = Material
+    data_mod.Frame = Frame
+    data_mod.Sprite = Sprite
+    data_mod.Object = Object
+    data_mod.objects = scene.objects
+    data_mod.player = None
+    data_mod.background = None
+
+    init_path = os.path.join(mod_dir, "init.py")
+    src = open(init_path).read()
+    ns = {
+        "__name__": f"mods.{mod}.init",
+        "__file__": init_path,
+        "lib": lib_mod,
+        "data": data_mod,
+        "MOD_DIR": mod_dir,
+    }
+    # `from lib import *` / `import data` must resolve to the shims
+    saved = {k: sys.modules.get(k) for k in ("lib", "data")}
+    sys.modules["lib"] = lib_mod
+    sys.modules["data"] = data_mod
+    cwd = os.getcwd()
+    try:
+        os.chdir(os.path.dirname(root))  # mods address assets as "mods/<mod>/..."
+        with scene:
+            exec(compile(src, init_path, "exec"), ns)
+    finally:
+        os.chdir(cwd)
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    scene.player = data_mod.player
+    bg = data_mod.background
+    if bg is not None:
+        scene.background = "sky" if getattr(bg, "__name__", "") == "material_background" else bg
+    return scene

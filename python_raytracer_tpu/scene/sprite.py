@@ -226,8 +226,21 @@ class Sprite:
         The rotation remap is applied by *reading through* pos_rotated, so the
         result matches what the renderer's per-voxel fetch path would see
         (reference init.py:421 reads via spr.get_voxel(None, pos, obj.rot)).
+        Results are cached per (frame, rotation step, content version) so the
+        runtime's chunk rebuilds don't re-walk voxel dicts every tick.
         """
-        base = self.get_frame(frame).to_dense(registry, self.size)
+        f = self.get_frame(frame)
+        rot_step = (round(rot[0] / 90) % 4, round(rot[1] / 90) % 4, round(rot[2] / 90) % 4)
+        cache_key = (id(f), f._version, rot_step, id(registry))
+        cache = getattr(self, "_dense_cache", None)
+        if cache is not None and cache[0] == cache_key:
+            return cache[1]
+        out = self._to_dense_uncached(registry, f, rot)
+        self._dense_cache = (cache_key, out)
+        return out
+
+    def _to_dense_uncached(self, registry: MaterialRegistry, f: Frame, rot) -> np.ndarray:
+        base = f.to_dense(registry, self.size)
         ax = round(rot[0] / 90) % 4
         ay = round(rot[1] / 90) % 4
         az = round(rot[2] / 90) % 4

@@ -1,0 +1,69 @@
+"""Runtime engine integration: frame loop, culling feedback, physics motion,
+chunk rebuilds (reference Window semantics, init.py:153-474)."""
+
+import numpy as np
+import pytest
+
+from python_raytracer_tpu.models.default import build_default_scene, default_settings
+from python_raytracer_tpu.runtime.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def engine():
+    # Small frame budget config for test speed: quarter resolution.
+    st = default_settings().replace(width=32, height=24, samples=1, dof=0.0)
+    scene = build_default_scene(st)
+    return Engine(scene)
+
+
+def test_first_frames_and_culling_feedback(engine):
+    img1 = engine.step(1 / 24)
+    assert img1 is not None
+    st = engine.settings
+    assert img1.shape == (st.window_scaled[1], st.window_scaled[0], 4)
+    # culling on: first frame rendered with no chunks -> pure sky, but the
+    # traversed mask must be populated by ray feedback (init.py:447)
+    assert int(np.asarray(engine._traversed).sum()) > 0
+
+    # run past chunk_time so chunks appear, then the image changes
+    img2 = None
+    for _ in range(6):
+        img2 = engine.step(1 / 24)
+    active = int(np.asarray(engine.compiled.arrays.chunk_res).max())
+    assert active > 0, "chunks should become active after culling feedback"
+    assert not np.allclose(img1, img2), "scene should appear after warmup"
+
+
+def test_physics_objects_fall(engine):
+    scene = engine.scene
+    movers = [o for o in scene.objects.values() if o.physics]
+    before = {o.id: o.pos for o in movers}
+    for _ in range(4):
+        engine.step(1 / 24)
+    # The floating cubes rest on castle geometry (blocked + friction-damped)
+    # and distant ones are asleep past dist_move (data.py:575) — but the
+    # player hangs in the air and must fall under gravity.
+    moved = sum(1 for o in movers if o.pos != before[o.id])
+    assert moved >= 1, "gravity should displace at least one physics object"
+    assert scene.player.pos[1] < before[scene.player.id][1], "player falls"
+
+
+def test_chunk_rebuild_after_move(engine):
+    scene = engine.scene
+    # displaced objects mark redraw; after a chunk tick the world grid updates
+    any_redraw = any(o.redraw for o in scene.objects.values())
+    engine.step(1.0)  # dt > chunk_time forces a chunk update
+    if any_redraw:
+        assert all(
+            not o.redraw for o in scene.objects.values() if o.visible
+        ), "redraw flags consumed by chunk update"
+
+
+def test_input_impulses(engine):
+    player = engine.scene.player
+    v0 = player.vel
+    engine.apply_input((0, 0, 1), (0, 0, 0), (0, 0), dt=1 / 24)
+    assert player.vel != v0, "forward input should accelerate the player"
+    r0 = player.rot
+    engine.apply_input((0, 0, 0), (0, 10, 0), (0, 0), dt=1 / 24)
+    assert player.rot != r0, "rotation input should rotate the player"
