@@ -35,8 +35,17 @@ from python_raytracer_tpu.scene.material import (
 
 
 def _dense_props(obj):
-    """Cached [X, Y, Z, 3] (solidity, friction, elasticity) grid for the
-    object's active frame at its current 90-degree rotation step."""
+    """Cached ((X, Y, Z, 3) grid, local-coord offset) of (solidity, friction,
+    elasticity) for the object's active frame at its 90-degree rotation step.
+
+    Unlike the render grid, physics must cover content *outside* the sprite
+    size: the Goxel import mirrors X as ``size.x - x`` (reference
+    data.py:287), leaving a voxel plane at local x == size.x that the
+    renderer's [mins, maxs) clip never reads but the reference's inclusive
+    collision slabs and back-queries do (data.py:532-538). The grid therefore
+    spans the frame's true content bounds; ``offset`` maps local coordinates
+    to indices. Rotated reads go through pos_rotated, which only addresses
+    in-size positions — matching the reference's remap."""
     spr = obj.get_sprite()
     rot_step = tuple(round(a / 90) % 4 for a in obj.rot)
     frame = spr.get_frame(None)
@@ -45,22 +54,30 @@ def _dense_props(obj):
     if cache is not None and cache[0] == key:
         return cache[1]
 
-    grid = np.zeros(spr.size + (3,), dtype=np.float64)
-    for (x, y, z), mat in frame.get_voxels().items():
-        if 0 <= x < spr.size[0] and 0 <= y < spr.size[1] and 0 <= z < spr.size[2]:
-            grid[x, y, z] = (mat.solidity, mat.friction, mat.elasticity)
-    # Reorient for the object's rotation by reading through pos_rotated.
+    voxels = frame.get_voxels()
+    lo = [0, 0, 0]
+    hi = [spr.size[0], spr.size[1], spr.size[2]]
+    if not any(rot_step):
+        for (x, y, z) in voxels:
+            lo = [min(lo[0], x), min(lo[1], y), min(lo[2], z)]
+            hi = [max(hi[0], x + 1), max(hi[1], y + 1), max(hi[2], z + 1)]
+    shape = (hi[0] - lo[0], hi[1] - lo[1], hi[2] - lo[2])
+    grid = np.zeros(shape + (3,), dtype=np.float64)
     if any(rot_step):
         rot_deg = tuple(a * 90 for a in rot_step)
-        out = np.zeros_like(grid)
+        lookup = dict(voxels)
         for x in range(spr.size[0]):
             for y in range(spr.size[1]):
                 for z in range(spr.size[2]):
-                    sx, sy, sz = spr.pos_rotated((x, y, z), rot_deg)
-                    out[x, y, z] = grid[sx, sy, sz]
-        grid = out
-    spr._phys_cache = (key, grid)
-    return grid
+                    mat = lookup.get(spr.pos_rotated((x, y, z), rot_deg))
+                    if mat is not None:
+                        grid[x, y, z] = (mat.solidity, mat.friction, mat.elasticity)
+    else:
+        for (x, y, z), mat in voxels.items():
+            grid[x - lo[0], y - lo[1], z - lo[2]] = (mat.solidity, mat.friction, mat.elasticity)
+    result = (grid, tuple(lo))
+    spr._phys_cache = (key, result)
+    return result
 
 
 def _slab_props(obj, post6) -> np.ndarray:
@@ -69,9 +86,14 @@ def _slab_props(obj, post6) -> np.ndarray:
     x0, y0, z0, x1, y1, z1 = post6
     shape = (x1 - x0 + 1, y1 - y0 + 1, z1 - z0 + 1)
     out = np.zeros(shape + (3,), dtype=np.float64)
-    dense = _dense_props(obj)
-    # World cell w maps to local cell w - obj.mins (reference data.py:536).
-    lo = [x0 - obj.mins[0], y0 - obj.mins[1], z0 - obj.mins[2]]
+    dense, off = _dense_props(obj)
+    # World cell w maps to local cell w - obj.mins (reference data.py:536),
+    # shifted by the dense grid's content offset.
+    lo = [
+        x0 - obj.mins[0] - off[0],
+        y0 - obj.mins[1] - off[1],
+        z0 - obj.mins[2] - off[2],
+    ]
     src_lo = [max(0, l) for l in lo]
     src_hi = [min(dense.shape[i], lo[i] + shape[i]) for i in range(3)]
     if any(src_hi[i] <= src_lo[i] for i in range(3)):

@@ -122,6 +122,19 @@ class Engine:
             chunk_res=chunk_res, cell_word=cell_word,
         )
 
+    def refresh_materials(self):
+        """Re-read edited Material objects into the device table.
+
+        The reference shares materials by reference, so editing one retints
+        every voxel using it on the next frame (README.md:77); here the
+        authored values live in a compiled table, so edits are pushed
+        explicitly (the discrete bits — IOR classes, roughness flags — stay
+        frozen until a full recompile; see scene/material.py)."""
+        self.compiled.arrays = dataclasses.replace(
+            self.compiled.arrays,
+            material_table=jnp.asarray(self.compiled.registry.table()),
+        )
+
     def chunk_update(self, dt: float):
         """Rebuild the world grid for redrawn objects and re-bake LOD/culling,
         rate-limited by chunk_time (reference init.py:389-392)."""

@@ -71,3 +71,11 @@ def compiled_nonoise(default_scene_nonoise, golden_nonoise):
 
     cam_pos = np.array(golden_nonoise["cam_pos"])
     return compile_scene(default_scene_nonoise, cam_pos=cam_pos)
+
+
+@pytest.fixture(scope="session")
+def golden_samples4():
+    path = os.path.join(GOLDEN_DIR, "default_samples4.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden default_samples4.npz not generated")
+    return np.load(path)

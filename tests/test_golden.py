@@ -62,3 +62,22 @@ def test_march_stats_match_reference(golden_stock):
     g = golden_stock
     assert 20 < g["steps"].mean() < 40
     assert 2.0 < g["bounces"].mean() < 3.2
+
+
+def test_multisample_tape_exact(golden_samples4):
+    """BASELINE config 2: samples=4 static-seed multisampling. Exercises the
+    per-pixel variable sample count (max(1, round(samples*detail)),
+    init.py:134), per-sample detail decay and the sample average resolve."""
+    g = golden_samples4
+    st = default_settings().replace(samples=4)
+    scene = build_default_scene(st)
+    cam_pos = np.array(g["cam_pos"])
+    cs = compile_scene(scene, cam_pos=cam_pos)
+    img, _ = render_frame(
+        st, cs.spec, cs.arrays, cam_pos, np.array(g["cam_rot"]),
+        tape=g["tape"], dtype=jnp.float64,
+    )
+    img = np.asarray(img)
+    diff = np.abs(img - g["image"]).max(axis=-1)
+    mismatched = int((diff > 0).sum())
+    assert mismatched == 0, f"{mismatched}/{diff.size} pixels differ (max {diff.max()})"

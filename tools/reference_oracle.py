@@ -261,3 +261,23 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def physics_rollout(ticks: int = 24):
+    """Drive the reference physics for N frames (reference init.py:469-470 ->
+    data.py:564-587) and record object positions/velocities per tick.
+    Deterministic on the default scene (all solidity == 1)."""
+    lib, data, Camera = load_reference()
+    order = list(data.objects.keys())
+    frames = []
+    for _ in range(ticks):
+        cam_pos = data.player.cam_pos
+        for oid in order:
+            data.objects[oid].update(cam_pos)
+        frames.append(
+            [
+                (data.objects[oid].pos.tuple(), data.objects[oid].vel.tuple())
+                for oid in order
+            ]
+        )
+    return np.array(frames, dtype=np.float64)  # [T, n_obj, 2, 3]
