@@ -58,7 +58,8 @@ def main():
     else:
         from python_raytracer_tpu.ops.diff import make_diff_renderer
 
-        renderer = make_diff_renderer(st, cs.spec, max_hits=16)
+        renderer = make_diff_renderer(st, cs.spec, max_hits=16,
+                                      programs_used=cs.programs_used)
 
         def forward(table, rays):
             color, _ = renderer(table, cs.arrays, rays, key)

@@ -113,6 +113,69 @@ def rgb(r, g, b):
     return _rgb_tuple(r, g, b)
 
 
+class store:
+    """Dot-access property bag (reference lib.py:7-10)."""
+
+    def __init__(self, **args):
+        for a in args:
+            setattr(self, a, args[a])
+
+
+def grid(unit: int):
+    """Most even 2D factorization of an integer (reference lib.py:398-401)."""
+    i = math.isqrt(unit)
+    while i > 0:
+        if unit % i == 0:
+            return unit // i, i
+        i -= 1
+
+
+def merge(items, items_new):
+    """Dedup list union (reference lib.py:404-409)."""
+    result = list(items)
+    for item in items_new:
+        if item not in result:
+            result.append(item)
+    return result
+
+
+def unpack(items):
+    """Flatten a list of containers (reference lib.py:412-416)."""
+    result = []
+    for item in items:
+        result += item
+    return result
+
+
+def average(items):
+    """Element-wise mean of equal-length lists (reference lib.py:419-428)."""
+    if len(items[0]) <= 1:
+        return items
+    n = len(items[0])
+    return [sum(item[slot] for item in items) / len(items) for slot in range(n)]
+
+
+def rand(amp):
+    """Uniform in +-amp; no draw when amp is falsy (reference lib.py:431-434)."""
+    import random as _random
+
+    if not amp:
+        return 0
+    return (-1 + _random.random() * 2) * amp
+
+
+def mix(val1, val2, bias1):
+    """Lerp (reference lib.py:437-439)."""
+    return val1 * (1 - bias1) + val2 * bias1
+
+
+def normalize(x, x_min, x_max):
+    """Clamp-remap into [0, 1] (reference lib.py:442-445)."""
+    if x_min >= x_max:
+        return 0
+    return min(1, max(0, (x - x_min) / (x_max - x_min)))
+
+
 def material(ray, mat, settings):  # pragma: no cover - marker symbol
     """Marker for the builtin PBR material program (reference lib.py:448-460).
 
@@ -150,11 +213,13 @@ def load_mod(
 
     # lib shim: the reference mod preamble is `from lib import *`
     lib_mod = types.ModuleType("python_raytracer_tpu._mod_lib")
-    lib_mod.vec2 = vec2
-    lib_mod.vec3 = vec3
-    lib_mod.rgb = rgb
-    lib_mod.material = material
-    lib_mod.material_background = material_background
+    for name, sym in (
+        ("vec2", vec2), ("vec3", vec3), ("rgb", rgb), ("store", store),
+        ("material", material), ("material_background", material_background),
+        ("grid", grid), ("merge", merge), ("unpack", unpack),
+        ("average", average), ("rand", rand), ("mix", mix), ("normalize", normalize),
+    ):
+        setattr(lib_mod, name, sym)
 
     # data shim: scene classes + settings + player/background assignment slots
     data_mod = types.ModuleType("python_raytracer_tpu._mod_data")

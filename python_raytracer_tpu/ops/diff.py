@@ -38,7 +38,8 @@ from python_raytracer_tpu.scene.compile import GridSpec, SceneArrays
 from python_raytracer_tpu.utils.mathutils import cheb_normalize
 
 
-def _replay(table, settings: Settings, records: HitRecords, v0, background: Optional[str]):
+def _replay(table, settings: Settings, records: HitRecords, v0,
+            background: Optional[str], programs_used=(0,), program_ids=None):
     """Re-run the shading chain from the hit tape. Produces bit-identical
     color/energy to the forward march given the same records."""
     n, h = records.vid.shape
@@ -46,20 +47,25 @@ def _replay(table, settings: Settings, records: HitRecords, v0, background: Opti
 
     def hit_step(carry, rec):
         color, energy, vel, bounces, idx = carry
-        vid, u, flip = rec
+        vid, u, flip, pid = rec
         live = idx < records.count  # [N]
         onehot = (vid[:, None] == jnp.arange(table.shape[0])[None, :]).astype(dtype)
         rows = jnp.dot(onehot, table, preferred_element_type=dtype)
-        absorption = jnp.minimum(
-            1.0,
-            rows[:, M.PARAM_ABSORPTION] / (1.0 + bounces) ** (1.0 + settings.falloff),
+        mat = P.MatParams(
+            albedo=rows[:, M.PARAM_ALBEDO_R : M.PARAM_ALBEDO_B + 1],
+            roughness=rows[:, M.PARAM_ROUGHNESS],
+            absorption=rows[:, M.PARAM_ABSORPTION],
+            ior=rows[:, M.PARAM_IOR],
+            energy=rows[:, M.PARAM_ENERGY],
         )
-        albedo = rows[:, M.PARAM_ALBEDO_R : M.PARAM_ALBEDO_B + 1]
-        new_color = color * (1 - absorption[:, None]) + albedo * absorption[:, None]
-        new_energy = energy * (1 - absorption) + rows[:, M.PARAM_ENERGY] * absorption
-        jitter = (-1.0 + u * 2.0) * rows[:, M.PARAM_ROUGHNESS][:, None]
-        new_vel = cheb_normalize(vel + jitter)
-        ior = rows[:, M.PARAM_IOR]
+        zeros = jnp.zeros_like(energy)
+        ray_view = P.HitRay(color=color, energy=energy, life=zeros, vel=vel,
+                            bounces=bounces, step=zeros)
+        upd, bounce = P.dispatch(programs_used, pid, ray_view, mat, settings, u)
+        new_color = upd.get("color", color)
+        new_energy = upd.get("energy", energy)
+        new_vel = cheb_normalize(upd.get("vel", vel))
+        ior = mat.ior
         for axis in range(3):
             do_flip = ((flip >> axis) & 1) > 0
             new_vel = new_vel.at[:, axis].set(
@@ -69,7 +75,7 @@ def _replay(table, settings: Settings, records: HitRecords, v0, background: Opti
                     new_vel[:, axis],
                 )
             )
-        new_bounces = bounces + rows[:, M.PARAM_ABSORPTION]
+        new_bounces = bounces + bounce
         color = jnp.where(live[:, None], new_color, color)
         energy = jnp.where(live, new_energy, energy)
         vel = jnp.where(live[:, None], new_vel, vel)
@@ -83,10 +89,15 @@ def _replay(table, settings: Settings, records: HitRecords, v0, background: Opti
         jnp.zeros((n,), dtype),
         jnp.zeros((), jnp.int32),
     )
+    pid_per_hit = (
+        program_ids[records.vid] if program_ids is not None and len(programs_used) > 1
+        else jnp.zeros_like(records.vid)
+    )
     recs = (
         jnp.moveaxis(records.vid, 1, 0),
         jnp.moveaxis(records.u, 1, 0),
         jnp.moveaxis(records.flip, 1, 0),
+        jnp.moveaxis(pid_per_hit, 1, 0),
     )
     (color, energy, vel, bounces, _), _ = jax.lax.scan(hit_step, init, recs)
 
@@ -102,19 +113,25 @@ def make_diff_renderer(
     spec: GridSpec,
     background: Optional[str] = "sky",
     max_hits: int = 16,
+    programs_used=(0,),
 ):
     """Build ``render(table, arrays, rays, key) -> (color [N,3], energy [N])``
     differentiable w.r.t. ``table`` with the while-march forward + hit-replay
-    backward. ``arrays.material_table`` is ignored in favor of ``table``."""
+    backward. ``arrays.material_table`` is ignored in favor of ``table``.
+
+    Diff-path ABI note: custom material programs are replayed with zeroed
+    ``step``/``life`` ray fields (they are not outputs); programs whose
+    color/energy/vel outputs depend on those fields get approximate
+    gradients (the builtin PBR program does not)."""
     settings = settings.replace(exact=False)
 
     def _forward(table, arrays: SceneArrays, rays: RayBatch, key):
         arr = dataclasses.replace(arrays, material_table=table)
         res = march(
             settings, spec, arr, rays, key=key, background=background,
-            mode="while", record_hits=max_hits,
+            mode="while", record_hits=max_hits, programs_used=programs_used,
         )
-        return (res.color, res.energy), (res.hits, rays.vel)
+        return (res.color, res.energy), (res.hits, rays.vel, arrays.program)
 
     @jax.custom_vjp
     def render(table, arrays, rays, key):
@@ -122,12 +139,15 @@ def make_diff_renderer(
         return out
 
     def render_fwd(table, arrays, rays, key):
-        out, (hits, v0) = _forward(table, arrays, rays, key)
-        return out, (table, hits, v0)
+        out, (hits, v0, program_ids) = _forward(table, arrays, rays, key)
+        return out, (table, hits, v0, program_ids)
 
     def render_bwd(residuals, g):
-        table, hits, v0 = residuals
-        _, vjp = jax.vjp(lambda t: _replay(t, settings, hits, v0, background), table)
+        table, hits, v0, program_ids = residuals
+        _, vjp = jax.vjp(
+            lambda t: _replay(t, settings, hits, v0, background, programs_used, program_ids),
+            table,
+        )
         (dtable,) = vjp(g)
         return dtable, None, None, None
 

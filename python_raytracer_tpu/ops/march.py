@@ -242,21 +242,8 @@ def march(
             bounces=state.bounces,
             step=state.step,
         )
-        if len(programs_used) == 1:
-            upd, bounce = P.get_program(programs_used[0])(ray_view, mat, settings, u)
-        else:
-            pids = arrays.program[vid]
-            upd, bounce = None, None
-            for pid in programs_used:
-                u_i, b_i = P.get_program(pid)(ray_view, mat, settings, u)
-                if upd is None:
-                    upd, bounce = dict(u_i), b_i
-                else:
-                    sel = (pids == pid)
-                    for k_ in upd:
-                        s = sel[:, None] if upd[k_].ndim == 2 else sel
-                        upd[k_] = jnp.where(s, u_i.get(k_, upd[k_]), upd[k_])
-                    bounce = jnp.where(sel, b_i, bounce)
+        pids = arrays.program[vid] if len(programs_used) > 1 else None
+        upd, bounce = P.dispatch(programs_used, pids, ray_view, mat, settings, u)
 
         color = jnp.where(hit[:, None], rounding(upd.get("color", state.color)), state.color)
         energy = jnp.where(hit, upd.get("energy", state.energy), state.energy)

@@ -82,6 +82,33 @@ _PROGRAM_NAMES: Dict[str, int] = {"pbr": M.PROGRAM_PBR, "material": M.PROGRAM_PB
 _CALLABLE_IDS: Dict[int, int] = {}
 
 
+def dispatch(programs_used, pids, ray: HitRay, mat: MatParams, settings, draws):
+    """Run the material programs for a batch of hits.
+
+    ``programs_used`` is the static tuple of program ids present in the
+    scene (compile-time); ``pids`` the per-ray program id. With one program
+    this is a direct call; with several, every program runs vectorized and
+    results are masked-selected per ray (the small-expert dispatch of
+    SURVEY.md §2.2 "EP").
+    """
+    if len(programs_used) == 1:
+        return get_program(programs_used[0])(ray, mat, settings, draws)
+    upd, bounce = None, None
+    for pid in programs_used:
+        u_i, b_i = get_program(pid)(ray, mat, settings, draws)
+        if upd is None:
+            upd, bounce = dict(u_i), b_i
+        else:
+            sel = pids == pid
+            for key in set(upd) | set(u_i):
+                base = upd.get(key, getattr(ray, key))
+                new = u_i.get(key, getattr(ray, key))
+                s_ = sel[:, None] if new.ndim == 2 else sel
+                upd[key] = jnp.where(s_, new, base)
+            bounce = jnp.where(sel, b_i, bounce)
+    return upd, bounce
+
+
 def register_program(name: str, fn: Callable) -> int:
     """Register a custom vectorized material program under a name.
 

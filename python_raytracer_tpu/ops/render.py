@@ -49,6 +49,7 @@ def render_frame(
     mode: str = "while",
     record_traversed: bool = False,
     dtype=jnp.float32,
+    programs_used=(0,),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render one frame.
 
@@ -122,6 +123,7 @@ def render_frame(
         background=background,
         mode=mode,
         record_traversed=record_traversed,
+        programs_used=programs_used,
     )
 
     # Motion-blur alpha (init.py:141) and per-pixel sample resolve

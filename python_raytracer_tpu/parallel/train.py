@@ -50,7 +50,8 @@ def image_loss(table, settings, spec, arrays, rays, target, key=None):
 
 def make_train_step(settings: Settings, spec: GridSpec,
                     optimizer: optax.GradientTransformation,
-                    mesh: Optional[Mesh] = None, max_hits: int = 16):
+                    mesh: Optional[Mesh] = None, max_hits: int = 16,
+                    programs_used=(0,)):
     """Build a jitted train step. With a mesh, rays are sharded on the batch
     axis ('data') and everything else is replicated; jit inserts the psum for
     the table gradient.
@@ -61,7 +62,8 @@ def make_train_step(settings: Settings, spec: GridSpec,
     from python_raytracer_tpu.ops.diff import make_diff_renderer
 
     settings = settings.replace(exact=False)
-    renderer = make_diff_renderer(settings, spec, max_hits=max_hits)
+    renderer = make_diff_renderer(settings, spec, max_hits=max_hits,
+                                  programs_used=programs_used)
 
     def step(arrays: SceneArrays, opt_state, rays: RayBatch, target, key):
         def loss_fn(table):

@@ -83,6 +83,7 @@ class Engine:
                 st, self.compiled.spec, arrays, cam_pos, cam_rot, lens,
                 key=key, background=self.compiled.background or "sky",
                 mode="while", record_traversed=True, dtype=dtype,
+                programs_used=self.compiled.programs_used,
             )
         )
         if st.culling and scene.player is not None:

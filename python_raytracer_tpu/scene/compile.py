@@ -113,6 +113,9 @@ class CompiledScene:
     arrays: SceneArrays
     registry: MaterialRegistry
     background: Optional[str]
+    # Static tuple of material program ids present in the scene; the march
+    # dispatches over exactly these (ops/programs.py dispatch).
+    programs_used: Tuple[int, ...] = (0,)
 
 
 def _snap(v: int, unit: int) -> int:
@@ -339,4 +342,8 @@ def compile_scene(scene: Scene, margin_chunks: int = 2, cam_pos=None,
         program=jnp.asarray(flags["program"]),
         mat_bits=jnp.asarray(mat_bits),
     )
-    return CompiledScene(spec=spec, arrays=arrays, registry=registry, background=scene.background)
+    programs_used = tuple(sorted(set(int(x) for x in flags["program"]))) or (0,)
+    return CompiledScene(
+        spec=spec, arrays=arrays, registry=registry,
+        background=scene.background, programs_used=programs_used,
+    )
