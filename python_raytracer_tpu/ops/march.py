@@ -106,18 +106,28 @@ def _all3(x):
     return jnp.all(x, axis=-1)
 
 
-def _fetch_word(spec: GridSpec, words, fpos_i):
+def _fetch_word(spec: GridSpec, words, fpos_i, slab=None):
     """cell_word[fpos] as a single fast 1D gather; 0 outside the grid.
 
     The word packs material id (zeroed in absent/culled chunks), the chunk's
     LOD resolution and the Chebyshev empty-space distance — one gather per
     march step instead of separate id/res/table lookups (TPU element gathers
     are fast; row gathers are not — measured in bench notes).
+
+    ``slab``: optional (x0_cells, width_cells) when ``words`` holds only the
+    grid X-slab [x0, x0+width) — the grid-tensor-parallel path
+    (parallel/gridshard.py); cells outside the slab read 0.
     """
     g = fpos_i - jnp.array(spec.origin, jnp.int32)
     in_grid = _all3((g >= 0) & (g < jnp.array(spec.shape, jnp.int32)))
     gsafe = jnp.clip(g, 0, jnp.array(spec.shape, jnp.int32) - 1)
-    flat = (gsafe[..., 0] * spec.shape[1] + gsafe[..., 1]) * spec.shape[2] + gsafe[..., 2]
+    if slab is None:
+        flat = (gsafe[..., 0] * spec.shape[1] + gsafe[..., 1]) * spec.shape[2] + gsafe[..., 2]
+    else:
+        x0, width = slab
+        in_grid = in_grid & (gsafe[..., 0] >= x0) & (gsafe[..., 0] < x0 + width)
+        lx = jnp.clip(gsafe[..., 0] - x0, 0, width - 1)
+        flat = (lx * spec.shape[1] + gsafe[..., 1]) * spec.shape[2] + gsafe[..., 2]
     return jnp.where(in_grid, words[flat], 0)
 
 
@@ -140,6 +150,50 @@ def _neighbor_id_cls(spec, arrays, npos, cmin, cmax, cres):
     return jnp.where(beyond_active, 0, n_id), n_cls
 
 
+def initial_state(settings: Settings, spec: GridSpec, rays: RayBatch,
+                  record_hits: int = 0, tape_ptr=None) -> "_State":
+    """Fresh march state for segmented execution (parallel/gridshard.py)."""
+    n = rays.pos.shape[0]
+    dtype = rays.pos.dtype
+    zero = jnp.zeros((n,), dtype)
+    return _State(
+        pos=rays.pos, vel=rays.vel, color=jnp.zeros((n, 3), dtype), energy=zero,
+        step=zero, life=rays.life, bounces=zero, alive=zero < rays.life,
+        cmin=jnp.zeros((n, 3), dtype), cmax=jnp.zeros((n, 3), dtype),
+        cres=jnp.zeros((n,), jnp.int32),
+        ptr=(tape_ptr if tape_ptr is not None else jnp.zeros((n,), jnp.int32)),
+        traversed=jnp.zeros((spec.num_chunks,), bool),
+        it=jnp.zeros((), jnp.int32),
+        hits=(
+            HitRecords(
+                vid=jnp.zeros((n, record_hits), jnp.int32),
+                u=jnp.full((n, record_hits, 3), 0.5, dtype),
+                flip=jnp.zeros((n, record_hits), jnp.int32),
+                count=jnp.zeros((n,), jnp.int32),
+            )
+            if record_hits
+            else None
+        ),
+    )
+
+
+def finalize_background(settings: Settings, state: "_State", background):
+    """Apply the background program to a finished state (init.py:119-120)."""
+    color, energy = state.color, state.energy
+    bg = P.resolve_background(background)
+    if bg is not None:
+        color, energy = bg(color, energy, state.vel, state.bounces, settings)
+        if settings.exact:
+            color = jnp.round(color)
+            color = jnp.minimum(255.0, jnp.round(color * energy[:, None]))
+        else:
+            color = jnp.minimum(255.0, color * energy[:, None])
+    return MarchResult(
+        color=color, energy=energy, bounces=state.bounces, step=state.step,
+        pos=state.pos, vel=state.vel, traversed=state.traversed, hits=state.hits,
+    )
+
+
 def march(
     settings: Settings,
     spec: GridSpec,
@@ -154,13 +208,27 @@ def march(
     mode: str = "while",
     record_traversed: bool = False,
     record_hits: int = 0,
+    resume_state: Optional["_State"] = None,
+    num_iters: Optional[int] = None,
+    finalize: bool = True,
+    slab=None,
 ) -> MarchResult:
-    """March a batch of rays to completion. See module docstring."""
+    """March a batch of rays to completion. See module docstring.
+
+    Segmented execution (the grid-TP path, parallel/gridshard.py):
+    ``resume_state`` continues a previous partial march, ``num_iters`` caps
+    this segment, ``finalize=False`` returns the raw state in
+    ``MarchResult.hits`` position... no — returns a MarchResult whose fields
+    reflect the unfinished state and sets ``.state`` for resumption;
+    ``slab=(x0, width)`` restricts progress to rays whose current cell lies
+    in the given grid X-slab (others stay frozen) with ``arrays.cell_word``
+    holding only that slab.
+    """
     n = rays.pos.shape[0]
     dtype = rays.pos.dtype
     cs = float(settings.chunk_size)
     table = arrays.material_table.astype(dtype)
-    max_iters = settings.march_steps
+    max_iters = num_iters if num_iters is not None else settings.march_steps
 
     use_tape = tape is not None
     if use_tape and tape_ptr is None:
@@ -172,16 +240,32 @@ def march(
         return jnp.round(x) if settings.exact else x
 
     def draws_for_iteration(state):
-        """[N, 3] uniforms for this iteration's potential hits."""
+        """[N, 3] uniforms for this iteration's potential hits.
+
+        Key mode folds the key with each ray's own progress counter
+        (state.ptr), not the global iteration index, so the stream a ray
+        sees depends only on how far IT has marched — execution order
+        (while vs scan, grid-TP freezing/rotation) never changes the noise.
+        """
         if use_tape:
             idx = state.ptr[:, None] + jnp.arange(3)[None, :]
             idx = jnp.clip(idx, 0, tape.shape[1] - 1)
             return jnp.take_along_axis(tape, idx, axis=1).astype(dtype)
-        k = jax.random.fold_in(key, state.it)
-        return jax.random.uniform(k, (n, 3), dtype=dtype)
+        keys = jax.vmap(lambda c: jax.random.fold_in(key, c))(state.ptr)
+        return jax.vmap(lambda k: jax.random.uniform(k, (3,), dtype=dtype))(keys)
+
+    def in_slab(pos):
+        if slab is None:
+            return None
+        x0, width = slab
+        gx = jnp.floor(pos[:, 0]).astype(jnp.int32) - spec.origin[0]
+        gx = jnp.clip(gx, 0, spec.shape[0] - 1)
+        return (gx >= x0) & (gx < x0 + width)
 
     def body(state: _State) -> _State:
         alive = state.alive
+        if slab is not None:
+            alive = alive & in_slab(state.pos)  # frozen rays make no progress
         pos, vel = state.pos, state.vel
 
         # -- 1. active-chunk hysteresis (init.py:67-73) --
@@ -196,7 +280,7 @@ def march(
         # its word carries the active chunk's res), the voxel id, and the
         # empty-space skip distance.
         fpos = jnp.floor(pos).astype(jnp.int32)
-        word = _fetch_word(spec, arrays.cell_word, fpos)
+        word = _fetch_word(spec, arrays.cell_word, fpos, slab)
         res_new = (word >> C.WORD_RES_SHIFT) & C.WORD_RES_MASK
         cres = jnp.where(switch, res_new, state.cres)
 
@@ -252,7 +336,10 @@ def march(
         bounces = jnp.where(hit, state.bounces + bounce, state.bounces)
         life = jnp.where(hit, life / (cres.astype(dtype) + bounce * settings.lod_bounces), life)
         vel = jnp.where(hit[:, None], cheb_normalize(vel), vel)
-        ptr = state.ptr + jnp.where(hit & has_rough, 3, 0) if use_tape else state.ptr
+        if use_tape:
+            ptr = state.ptr + jnp.where(hit & has_rough, 3, 0)
+        else:
+            ptr = state.ptr + alive.astype(jnp.int32)  # per-ray progress counter
 
         term = hit & (
             (state.step >= life)
@@ -336,6 +423,9 @@ def march(
         step = jnp.where(adv, state.step + step_len, state.step)
 
         alive = adv & (step < life)
+        if slab is not None:
+            # Frozen rays keep their previous liveness for later segments.
+            alive = jnp.where(in_slab(state.pos), alive, state.alive)
         return _State(
             pos=pos, vel=vel, color=color, energy=energy, step=step, life=life,
             bounces=bounces, alive=alive, cmin=cmin, cmax=cmax, cres=cres, ptr=ptr,
@@ -343,37 +433,43 @@ def march(
         )
 
     zero = jnp.zeros((n,), dtype)
-    init = _State(
-        pos=rays.pos,
-        vel=rays.vel,
-        color=jnp.zeros((n, 3), dtype),
-        energy=zero,
-        step=zero,
-        life=rays.life,
-        bounces=zero,
-        alive=zero < rays.life,
-        cmin=jnp.zeros((n, 3), dtype),
-        cmax=jnp.zeros((n, 3), dtype),
-        cres=jnp.zeros((n,), jnp.int32),
-        ptr=(tape_ptr if use_tape else jnp.zeros((n,), jnp.int32)),
-        traversed=jnp.zeros((spec.num_chunks,), bool),
-        it=jnp.zeros((), jnp.int32),
-        hits=(
-            HitRecords(
-                vid=jnp.zeros((n, record_hits), jnp.int32),
-                u=jnp.full((n, record_hits, 3), 0.5, dtype),
-                flip=jnp.zeros((n, record_hits), jnp.int32),
-                count=jnp.zeros((n,), jnp.int32),
-            )
-            if record_hits
-            else None
-        ),
-    )
+    if resume_state is not None:
+        init = resume_state
+    else:
+        init = _State(
+            pos=rays.pos,
+            vel=rays.vel,
+            color=jnp.zeros((n, 3), dtype),
+            energy=zero,
+            step=zero,
+            life=rays.life,
+            bounces=zero,
+            alive=zero < rays.life,
+            cmin=jnp.zeros((n, 3), dtype),
+            cmax=jnp.zeros((n, 3), dtype),
+            cres=jnp.zeros((n,), jnp.int32),
+            ptr=(tape_ptr if use_tape else jnp.zeros((n,), jnp.int32)),
+            traversed=jnp.zeros((spec.num_chunks,), bool),
+            it=jnp.zeros((), jnp.int32),
+            hits=(
+                HitRecords(
+                    vid=jnp.zeros((n, record_hits), jnp.int32),
+                    u=jnp.full((n, record_hits, 3), 0.5, dtype),
+                    flip=jnp.zeros((n, record_hits), jnp.int32),
+                    count=jnp.zeros((n,), jnp.int32),
+                )
+                if record_hits
+                else None
+            ),
+        )
 
     if mode == "while":
-        final = jax.lax.while_loop(
-            lambda s: jnp.any(s.alive) & (s.it < max_iters), body, init
-        )
+        if slab is None:
+            cond = lambda s: jnp.any(s.alive) & (s.it < max_iters)
+        else:
+            # Segment ends when no ray can progress inside this slab.
+            cond = lambda s: jnp.any(s.alive & in_slab(s.pos)) & (s.it < max_iters)
+        final = jax.lax.while_loop(cond, body, init)
     elif mode == "scan":
         # Rematerialize each step in the backward pass: only the carried state
         # is saved per iteration, every gather/shade intermediate is recomputed
@@ -387,6 +483,14 @@ def march(
         final, _ = jax.lax.scan(scan_body, init, None, length=max_iters)
     else:
         raise ValueError(f"mode must be 'while' or 'scan', got {mode!r}")
+
+    if not finalize:
+        res = MarchResult(
+            color=final.color, energy=final.energy, bounces=final.bounces,
+            step=final.step, pos=final.pos, vel=final.vel,
+            traversed=final.traversed, hits=final.hits,
+        )
+        return res, final
 
     # -- 6. background program (init.py:119-120, lib.py:463-476) --
     color, energy = final.color, final.energy
