@@ -78,10 +78,19 @@ class Engine:
         self.dtype = dtype
 
         self._bake = jax.jit(bake_chunks, static_argnums=(0, 1))
+        # Static mode: the reference reseeds noise per pixel each frame
+        # (init.py:136-137) so the pattern is frame-stable; we replay the
+        # identical Mersenne-Twister tape every frame (utils/tape.py).
+        self._static_tape = None
+        if st.static:
+            from python_raytracer_tpu.utils.tape import make_static_tape
+
+            self._static_tape = jnp.asarray(make_static_tape(st), dtype)
         self._render = jax.jit(
             lambda arrays, cam_pos, cam_rot, lens, key: render_frame(
                 st, self.compiled.spec, arrays, cam_pos, cam_rot, lens,
-                key=key, background=self.compiled.background or "sky",
+                key=key, tape=self._static_tape,
+                background=self.compiled.background or "sky",
                 mode="while", record_traversed=True, dtype=dtype,
                 programs_used=self.compiled.programs_used,
             )

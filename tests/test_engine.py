@@ -67,3 +67,25 @@ def test_input_impulses(engine):
     r0 = player.rot
     engine.apply_input((0, 0, 0), (0, 10, 0), (0, 0), dt=1 / 24)
     assert player.rot != r0, "rotation input should rotate the player"
+
+
+def test_static_mode_noise_is_frame_stable():
+    """static=true replays the same per-pixel MT tape every frame (reference
+    init.py:136-137): the raw render is identical across frames even though
+    the RNG key advances."""
+    import jax
+    import jax.numpy as jnp
+
+    from python_raytracer_tpu.models.default import build_default_scene, default_settings
+
+    st = default_settings().replace(width=16, height=12, static=True, culling=False)
+    scene = build_default_scene(st)
+    eng = Engine(scene)
+    assert eng._static_tape is not None
+    f1, _ = eng._render(eng.compiled.arrays, jnp.asarray(eng.cam_pos, jnp.float32),
+                        jnp.asarray(eng.cam_rot, jnp.float32), eng.lens,
+                        jax.random.PRNGKey(1))
+    f2, _ = eng._render(eng.compiled.arrays, jnp.asarray(eng.cam_pos, jnp.float32),
+                        jnp.asarray(eng.cam_rot, jnp.float32), eng.lens,
+                        jax.random.PRNGKey(999))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))

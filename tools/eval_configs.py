@@ -1,0 +1,144 @@
+"""Run the five BASELINE.json evaluation configs end-to-end.
+
+Each config exercises a capability pillar of the framework
+(BASELINE.json "configs"); this script renders them all, reports metrics as
+JSON lines and optionally writes PNGs. Used for acceptance runs on TPU and
+(small) on CPU in CI.
+
+  1. stock      — default scene, stock config, single frame
+  2. multisample— samples=4 static-seed multisampling
+  3. poststack  — full camera post stack over an animated camera path
+  4. goxel_vol  — Goxel import with volumetric + translucent IOR materials
+  5. flythrough — culling + physics displacement over a camera flythrough
+
+Usage: python3 tools/eval_configs.py [--save-dir DIR] [--small]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _save(img, path):
+    if path is None:
+        return
+    os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+    import pygame as pg
+
+    surf = pg.Surface((img.shape[1], img.shape[0]))
+    pg.surfarray.blit_array(surf, np.clip(img[..., :3], 0, 255).astype(np.uint8).transpose(1, 0, 2))
+    pg.image.save(surf, path)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--save-dir", default=None)
+    ap.add_argument("--small", action="store_true", help="quarter resolution (CI)")
+    args = ap.parse_args()
+    if args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+
+    import jax
+    import jax.numpy as jnp
+
+    from python_raytracer_tpu.models.default import build_default_scene, default_settings
+    from python_raytracer_tpu.ops.render import render_frame
+    from python_raytracer_tpu.runtime.engine import Engine
+    from python_raytracer_tpu.scene.compile import compile_scene
+
+    def report(name, seconds, img, extra=None):
+        rec = {
+            "config": name,
+            "sec": round(seconds, 3),
+            "rgb_mean": round(float(img[..., :3].mean()), 2),
+            "rgb_max": float(img[..., :3].max()),
+        }
+        rec.update(extra or {})
+        print(json.dumps(rec))
+        if args.save_dir:
+            _save(np.asarray(img), os.path.join(args.save_dir, f"{name}.png"))
+
+    base = default_settings()
+    if args.small:
+        base = base.replace(width=32, height=24)
+
+    # 1. stock single frame
+    st = base
+    scene = build_default_scene(st)
+    cam_pos = np.array(scene.player.cam_pos)
+    cam_rot = np.array(scene.player.cam_rot)
+    cs = compile_scene(scene, cam_pos=cam_pos)
+    t0 = time.time()
+    img, trav = render_frame(st, cs.spec, cs.arrays, cam_pos, cam_rot,
+                             key=jax.random.PRNGKey(0), record_traversed=True)
+    img = np.asarray(img)
+    report("stock", time.time() - t0, img,
+           {"traversed_chunks": int(np.asarray(trav).sum())})
+
+    # 2. samples=4 static multisampling (tape-replayed static noise)
+    st4 = base.replace(samples=4)
+    from python_raytracer_tpu.utils.tape import make_static_tape
+
+    tape = make_static_tape(st4)
+    scene4 = build_default_scene(st4)
+    cs4 = compile_scene(scene4, cam_pos=cam_pos)
+    t0 = time.time()
+    img4, _ = render_frame(st4, cs4.spec, cs4.arrays, cam_pos, cam_rot, tape=tape)
+    report("multisample", time.time() - t0, np.asarray(img4), {"samples": 4})
+
+    # 3. post stack over an animated camera path
+    stp = base.replace(static=False)
+    scene_p = build_default_scene(stp)
+    eng = Engine(scene_p)
+    t0 = time.time()
+    frames = 12 if not args.small else 6
+    out = None
+    for i in range(frames):
+        eng.apply_input((0, 0, 0), (0, 8, 0), (0, 0), dt=1 / 24)  # pan
+        out = eng.step(1 / 24)
+    report("poststack", time.time() - t0, out,
+           {"frames": frames, "iris": round(eng.iris, 4)})
+
+    # 4. Goxel import + volumetric/IOR materials (glass, scatter, mist cubes
+    #    centered in view)
+    from python_raytracer_tpu.scene import Scene, Object
+    stg = base.replace(culling=False)
+    scene_g = build_default_scene(stg)
+    # aim the camera at the glass cube from nearby
+    player = scene_g.player
+    player.move((-4, 18, 2))
+    player.rot = (0.0, 0.0, 0.0)
+    player.set_camera_pos()
+    cs_g = compile_scene(scene_g, cam_pos=np.array(player.cam_pos))
+    t0 = time.time()
+    img_g, _ = render_frame(stg, cs_g.spec, cs_g.arrays,
+                            np.array(player.cam_pos), np.array(player.cam_rot),
+                            key=jax.random.PRNGKey(2))
+    report("goxel_vol", time.time() - t0, np.asarray(img_g))
+
+    # 5. flythrough with culling + physics displacement
+    stf = base.replace(static=False, culling=True)
+    scene_f = build_default_scene(stf)
+    engf = Engine(scene_f)
+    t0 = time.time()
+    frames = 16 if not args.small else 8
+    out = None
+    for i in range(frames):
+        engf.apply_input((0, 0, 1), (0, 4, 0), (0, 0), dt=1 / 24)
+        out = engf.step(1 / 24)
+    active = int((np.asarray(engf.compiled.arrays.chunk_res) > 0).sum())
+    report("flythrough", time.time() - t0, out,
+           {"frames": frames, "active_chunks": active,
+            "player_pos": [round(c, 2) for c in engf.scene.player.pos]})
+
+
+if __name__ == "__main__":
+    main()
