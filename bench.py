@@ -33,6 +33,7 @@ def main():
     n_rays = int(os.environ.get("BENCH_RAYS", "393216"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     fwd_only = os.environ.get("BENCH_FWD_ONLY", "0") == "1"
+    compact = os.environ.get("BENCH_COMPACT", "1") == "1"
 
     st = default_settings().replace(exact=False, static=False)
     scene = build_default_scene(st)
@@ -48,10 +49,34 @@ def main():
     u_dof = jax.random.uniform(key, (n_rays, 2), jnp.float32)
     rays = generate_rays(st, jnp.asarray(cam_pos), jnp.asarray(cam_rot), dirs, detail, u_dof)
 
-    if fwd_only:
+    if compact:
+        # Host-orchestrated: compacted forward march (batch shrinks as rays
+        # terminate) + hit-replay backward (ops/diff.py semantics).
+        from python_raytracer_tpu.ops.compact import march_compacted
+        from python_raytracer_tpu.ops.diff import _replay
+
+        def bwd_loss(table, hits, v0):
+            color, _ = _replay(table, st, hits, v0, "sky", cs.programs_used,
+                               cs.arrays.program)
+            return jnp.mean(color / 255.0)
+
+        bwd = jax.jit(jax.grad(bwd_loss))
+
+        def fn(table, rays):
+            arrays = dataclasses.replace(cs.arrays, material_table=table)
+            res = march_compacted(
+                st, cs.spec, arrays, rays, key=key, background="sky",
+                programs_used=cs.programs_used,
+                record_hits=0 if fwd_only else 16,
+            )
+            if fwd_only:
+                return res.color
+            return res.color, bwd(table, res.hits, rays.vel)
+    elif fwd_only:
         def forward(table, rays):
             arrays = dataclasses.replace(cs.arrays, material_table=table)
-            res = march(st, cs.spec, arrays, rays, key=key, background="sky", mode="while")
+            res = march(st, cs.spec, arrays, rays, key=key, background="sky",
+                        mode="while", programs_used=cs.programs_used)
             return jnp.mean(res.color / 255.0)
 
         fn = jax.jit(forward)
@@ -91,6 +116,7 @@ def main():
             "sec_per_iter": round(dt, 4),
             "compile_sec": round(compile_s, 1),
             "fwd_only": fwd_only,
+            "compact": compact,
             "device": str(jax.devices()[0]),
         },
     }))

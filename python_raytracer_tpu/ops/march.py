@@ -434,7 +434,9 @@ def march(
 
     zero = jnp.zeros((n,), dtype)
     if resume_state is not None:
-        init = resume_state
+        # The iteration counter is per-invocation (it caps this segment);
+        # per-ray progress lives in ptr/step, which resume untouched.
+        init = resume_state._replace(it=jnp.zeros((), jnp.int32))
     else:
         init = _State(
             pos=rays.pos,

@@ -57,7 +57,7 @@ class Engine:
     """Owns the compiled scene and advances it frame by frame."""
 
     def __init__(self, scene: Scene, margin_chunks: int = 2, dtype=jnp.float32,
-                 key: Optional[jax.Array] = None):
+                 key: Optional[jax.Array] = None, pipeline: Optional[bool] = None):
         self.scene = scene
         self.settings: Settings = scene.settings
         st = self.settings
@@ -107,6 +107,13 @@ class Engine:
         self.lens = st.lens  # mutable via mouse wheel (init.py:282)
         self.frame_index = 0
         self._baked_object_ids = set(scene.objects.keys())
+        # Frame pipelining: with sync=false the reference overlaps worker
+        # tracing of frame N with compositing frame N-1 (init.py:193-205).
+        # Here the same 2-stage pipeline is: dispatch render N (async on
+        # device), hand back the host copy of N-1. sync=true (reference
+        # barrier mode) renders and returns the same frame.
+        self.pipeline = (not st.sync) if pipeline is None else pipeline
+        self._pending = None  # (device image, device traversed)
 
     # --- camera ---
 
@@ -184,7 +191,9 @@ class Engine:
         # Iris state integration (init.py:463)
         self.iris = _mix(self.iris, self.iris_target * st.iris, st.iris_time * dt)
 
-        # Render + composite + post
+        # Render + composite + post. In pipeline mode the device works on
+        # frame N while the host receives N-1 (JAX async dispatch supplies
+        # the overlap; block only on the *previous* frame's outputs).
         self._key, sub = jax.random.split(self._key)
         frame, traversed = self._render(
             self.compiled.arrays,
@@ -194,9 +203,18 @@ class Engine:
         )
         self._traversed = traversed
         self.canvas = post_ops.alpha_over(self.canvas, frame)
-        image, iris_target = post_ops.post_stack(self.canvas, st, self.iris)
+        image_dev, iris_target = post_ops.post_stack(self.canvas, st, self.iris)
+        if self.pipeline:
+            out = self._pending
+            self._pending = (image_dev, iris_target)
+            if out is None:
+                image, iris_target_host = image_dev, iris_target  # first frame
+            else:
+                image, iris_target_host = out
+        else:
+            image, iris_target_host = image_dev, iris_target
         if st.iris and st.iris_time:
-            self.iris_target = float(iris_target)
+            self.iris_target = float(iris_target_host)
 
         self.chunk_update(dt)
 

@@ -1,0 +1,71 @@
+"""Compacted march == plain march, bit-exact (ops/compact.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from python_raytracer_tpu.models.default import build_default_scene, default_settings
+from python_raytracer_tpu.ops.camera import generate_rays, pixel_grid
+from python_raytracer_tpu.ops.compact import march_compacted
+from python_raytracer_tpu.ops.march import march
+from python_raytracer_tpu.scene.compile import compile_scene
+
+
+def _setup(static=False, dof=0.5):
+    st = default_settings().replace(width=16, height=16, dof=dof, static=static,
+                                    exact=False)
+    scene = build_default_scene(st)
+    cam_pos = np.array(scene.player.cam_pos)
+    cam_rot = np.array(scene.player.cam_rot)
+    cs = compile_scene(scene, cam_pos=cam_pos)
+    dirs, detail = pixel_grid(st, jnp.float32)
+    key = jax.random.PRNGKey(3)
+    u_dof = jax.random.uniform(key, (dirs.shape[0], 2), jnp.float32)
+    rays = generate_rays(st, jnp.asarray(cam_pos, jnp.float32),
+                         jnp.asarray(cam_rot, jnp.float32), dirs, detail, u_dof)
+    return st, cs, rays, key
+
+
+def test_compacted_equals_plain_key_mode():
+    st, cs, rays, key = _setup()
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used,
+                record_traversed=True)
+    got = march_compacted(st, cs.spec, cs.arrays, rays, key=key,
+                          background="sky", programs_used=cs.programs_used,
+                          record_traversed=True,
+                          segment_iters=8, min_width=16)
+    np.testing.assert_array_equal(np.asarray(got.color), np.asarray(ref.color))
+    np.testing.assert_array_equal(np.asarray(got.energy), np.asarray(ref.energy))
+    np.testing.assert_array_equal(np.asarray(got.step), np.asarray(ref.step))
+    np.testing.assert_array_equal(np.asarray(got.bounces), np.asarray(ref.bounces))
+    np.testing.assert_array_equal(
+        np.asarray(got.traversed), np.asarray(ref.traversed)
+    )
+
+
+def test_compacted_equals_plain_tape_mode():
+    st, cs, rays, _ = _setup(static=True)
+    n = rays.pos.shape[0]
+    rng = np.random.default_rng(0)
+    tape = jnp.asarray(rng.random((n, 32)), jnp.float32)
+    ptr0 = jnp.full((n,), 3, jnp.int32)
+    ref = march(st, cs.spec, cs.arrays, rays, tape=tape, tape_ptr=ptr0,
+                background="sky", mode="while", programs_used=cs.programs_used)
+    got = march_compacted(st, cs.spec, cs.arrays, rays, tape=tape, tape_ptr=ptr0,
+                          background="sky", programs_used=cs.programs_used,
+                          segment_iters=8, min_width=16)
+    np.testing.assert_array_equal(np.asarray(got.color), np.asarray(ref.color))
+    np.testing.assert_array_equal(np.asarray(got.step), np.asarray(ref.step))
+
+
+def test_compacted_records_hits():
+    st, cs, rays, key = _setup()
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used, record_hits=8)
+    got = march_compacted(st, cs.spec, cs.arrays, rays, key=key,
+                          background="sky", programs_used=cs.programs_used,
+                          record_hits=8, segment_iters=8, min_width=16)
+    np.testing.assert_array_equal(np.asarray(got.hits.count), np.asarray(ref.hits.count))
+    np.testing.assert_array_equal(np.asarray(got.hits.vid), np.asarray(ref.hits.vid))
+    np.testing.assert_array_equal(np.asarray(got.hits.u), np.asarray(ref.hits.u))

@@ -89,7 +89,10 @@ def test_culling_changes_with_camera():
 def test_material_refresh_retints():
     st = default_settings().replace(width=16, height=12, dof=0.0, static=False)
     scene = build_default_scene(st)
-    engine = Engine(scene)
+    # pipeline=False: compare the frame rendered *after* the retint (the
+    # default async pipeline hands back the previous frame, init.py:193-205
+    # semantics).
+    engine = Engine(scene, pipeline=False)
     img1 = engine.step(1 / 24)
     # Retint every registered material (reference README.md:77 semantics)
     for i in range(1, len(engine.compiled.registry)):
