@@ -83,3 +83,71 @@ def test_march_stats_and_metric_log(capsys):
         log.log("bench", mrays=stats.mrays_per_s)
     out = capsys.readouterr().out
     assert '"event": "bench"' in out
+
+
+def test_training_interruption_resume_equivalence(tmp_path):
+    """Failure recovery (SURVEY.md §5.3): a training run checkpointed at step
+    k and resumed in a fresh process-state must produce the same table as an
+    uninterrupted run — steps are re-runnable from checkpoints."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from python_raytracer_tpu.config import Settings
+    from python_raytracer_tpu.ops.camera import generate_rays, pixel_grid
+    from python_raytracer_tpu.parallel.train import make_train_step
+    from python_raytracer_tpu.scene import Material, Object, Scene, Sprite
+    from python_raytracer_tpu.scene.compile import compile_scene
+
+    st = Settings(width=8, height=8, dist_max=16, max_light=1, max_bounces=2,
+                  exact=False)
+    scene = Scene(st)
+    with scene:
+        m = Material(albedo=(200, 100, 50), roughness=0, absorption=1, ior=1,
+                     energy=0, solidity=1)
+        spr = Sprite(size=(8, 8, 8), frames=1)
+        spr.get_frame(0).set_voxels(
+            {(x, y, 0): m for x in range(8) for y in range(8)}, True)
+        o = Object(pos=(0, 0, 8))
+        o.set_sprite(spr)
+    cs = compile_scene(scene, cam_pos=np.zeros(3))
+    dirs, detail = pixel_grid(st, jnp.float32)
+    rays = generate_rays(st, jnp.zeros(3, jnp.float32),
+                         jnp.array([0, 0, 0, 1], jnp.float32), dirs, detail)
+    target = jnp.full((rays.pos.shape[0], 3), 0.3, jnp.float32)
+    opt = optax.adam(0.01)
+    step = make_train_step(st, cs.spec, opt)
+    key = jax.random.PRNGKey(0)
+
+    # Uninterrupted: 6 steps
+    arrays_a, opt_a = cs.arrays, opt.init(cs.arrays.material_table)
+    for i in range(6):
+        arrays_a, opt_a, _ = step(arrays_a, opt_a, rays, target, jax.random.fold_in(key, i))
+
+    # Interrupted at 3: checkpoint table+opt state, restore, continue
+    import orbax.checkpoint as ocp
+
+    arrays_b, opt_b = cs.arrays, opt.init(cs.arrays.material_table)
+    for i in range(3):
+        arrays_b, opt_b, _ = step(arrays_b, opt_b, rays, target, jax.random.fold_in(key, i))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(str(tmp_path / "t"), {"table": arrays_b.material_table, "opt": opt_b},
+               force=True)
+    restored = ckptr.restore(str(tmp_path / "t"))
+    import dataclasses as dc
+
+    arrays_c = dc.replace(cs.arrays, material_table=jnp.asarray(restored["table"]))
+    # Orbax returns plain containers; rebuild the optimizer state's pytree
+    # structure from a template (standard optax restore pattern).
+    treedef = jax.tree_util.tree_structure(opt.init(cs.arrays.material_table))
+    opt_c = jax.tree_util.tree_unflatten(
+        treedef,
+        [jnp.asarray(x) for x in jax.tree_util.tree_leaves(restored["opt"])],
+    )
+    for i in range(3, 6):
+        arrays_c, opt_c, _ = step(arrays_c, opt_c, rays, target, jax.random.fold_in(key, i))
+
+    np.testing.assert_allclose(
+        np.asarray(arrays_a.material_table), np.asarray(arrays_c.material_table),
+        rtol=0, atol=0,
+    )
