@@ -21,9 +21,47 @@ import time
 import numpy as np
 
 
-def main():
+def _device_health_ms():
+    """Milliseconds for 10 dependent 1024^3 matmuls (healthy v5e: < 10 ms).
+
+    The axon-tunneled TPU intermittently degrades ~1000x for long stretches;
+    benchmarking in such a window would grossly misreport the framework."""
     import jax
     import jax.numpy as jnp
+
+    x = jnp.ones((1024, 1024))
+    f = jax.jit(lambda a: a @ a)
+    f(x).block_until_ready()
+    t0 = time.time()
+    o = x
+    for _ in range(10):
+        o = f(o * 0.5)
+    o.block_until_ready()
+    return (time.time() - t0) * 1000
+
+
+def main():
+    import jax
+
+    # Persistent compilation cache: the march compiles in ~1-3 min on TPU;
+    # repeat bench runs should not pay that again.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    # Health-gate: wait (bounded) for the device to leave a degraded window.
+    health = _device_health_ms()
+    wait_budget = float(os.environ.get("BENCH_HEALTH_WAIT_SEC", "900"))
+    waited = 0.0
+    while health > 60 and waited < wait_budget:
+        time.sleep(30)
+        waited += 30
+        health = _device_health_ms()
+    print(json.dumps({"event": "health", "matmul10_ms": round(health, 1),
+                      "waited_sec": waited}), file=sys.stderr)
 
     from python_raytracer_tpu.models.default import build_default_scene, default_settings
     from python_raytracer_tpu.ops.camera import generate_rays, pixel_grid
