@@ -159,6 +159,7 @@ def render(lib, data, cam, record_tape: bool = True, max_draws: int = 0):
     lib.random = rec  # lib.rand() and the sample-loop draws go through this
 
     image = np.zeros((H, W, 4), dtype=np.float64)
+    traversed_union = set()
     steps = np.zeros((H, W), dtype=np.float64)
     bounces = np.zeros((H, W), dtype=np.float64)
     draw_counts = np.zeros((H, W, S), dtype=np.int32)
@@ -183,6 +184,8 @@ def render(lib, data, cam, record_tape: bool = True, max_draws: int = 0):
                 if record_tape:
                     tapes[(y, x, sample)] = list(rec.recording)
                 rec.recording = None
+                for post in ray.traversed:
+                    traversed_union.add(post)
                 if sample == 0:
                     steps[y, x] = ray.step
                     bounces[y, x] = ray.bounces
@@ -203,7 +206,8 @@ def render(lib, data, cam, record_tape: bool = True, max_draws: int = 0):
             else:
                 full = draws + [0.5] * (d_max - len(draws))
             tape[y * W + x, sample] = full[:d_max]
-    diag = {"steps": steps, "bounces": bounces, "draw_counts": draw_counts}
+    diag = {"steps": steps, "bounces": bounces, "draw_counts": draw_counts,
+            "traversed_union": traversed_union}
     return image, tape, diag
 
 
@@ -281,3 +285,89 @@ def physics_rollout(ticks: int = 24):
             ]
         )
     return np.array(frames, dtype=np.float64)  # [T, n_obj, 2, 3]
+
+
+def render_window_frames(n_frames: int, dt: float, overrides=None):
+    """Replicate the reference Window.update loop for a static scene:
+    draw with the camera's current chunk set -> collect traversed feedback ->
+    chunk_update on the chunk_rate timer with culling (reference
+    init.py:455-471, 389-452). Gravity should be zeroed via overrides so the
+    camera stays put (physics is validated separately).
+
+    Returns (frames [n, H, W, 4], updates: list of frame indices where the
+    chunk assignment was recalculated)."""
+    lib, data, Camera = load_reference()
+    apply_overrides(data, overrides or {})
+    vec3 = lib.vec3
+    s = data.settings
+    cs = s.chunk_size
+
+    cam = Camera()
+    cam.pos = data.player.cam_pos
+    cam.rot = data.player.cam_rot
+
+    # Build the merged world chunk ladders once (static scene; objects get
+    # their visibility flags the way Object.update would set them).
+    chunks_objects = {}
+    for obj_id, obj in data.objects.items():
+        dist = obj.pos.distance(cam.pos)
+        obj.visible = bool(obj.sprite) and dist <= s.dist_max + obj.size.maxs()
+        if not obj.visible:
+            continue
+        spr = obj.get_sprite()
+        cmin = obj.mins.snapped(cs)
+        cmax = obj.maxs.snapped(cs)
+        for cx in range(cmin.x, cmax.x + 1, cs):
+            for cy in range(cmin.y, cmax.y + 1, cs):
+                for cz in range(cmin.z, cmax.z + 1, cs):
+                    voxels = {}
+                    pos_min = obj.mins.max(vec3(cx, cy, cz))
+                    pos_max = obj.maxs.min(vec3(cx + cs, cy + cs, cz + cs))
+                    for x in range(pos_min.x, pos_max.x):
+                        for y in range(pos_min.y, pos_max.y):
+                            for z in range(pos_min.z, pos_max.z):
+                                mat = spr.get_voxel(None, vec3(x, y, z) - obj.mins, obj.rot)
+                                if mat:
+                                    voxels[(x, y, z)] = mat
+                    if voxels:
+                        chunks_objects.setdefault(obj_id, {})[(cx, cy, cz)] = voxels
+    chunk_keys = set()
+    for per_obj in chunks_objects.values():
+        chunk_keys.update(per_obj.keys())
+    ladders = {}
+    for post in chunk_keys:
+        voxels = {}
+        for per_obj in chunks_objects.values():
+            if post in per_obj:
+                voxels |= per_obj[post]
+        ladder = []
+        for lod in range(s.chunk_lod + 1):
+            frame = data.Frame(packed=False, resolution=lod + 1)
+            frame.set_voxels(voxels, True)
+            ladder.append(frame)
+        ladders[post] = ladder
+
+    frames = []
+    updates = []
+    timer = 0.0
+    traversed = []
+    for fi in range(n_frames):
+        image, _tape, diag = render(lib, data, cam, record_tape=False)
+        frames.append(image)
+        traversed = diag["traversed_union"]
+
+        timer += dt
+        if timer >= s.chunk_time:
+            timer -= max(s.chunk_time, dt)
+            updates.append(fi)
+            for post, ladder in ladders.items():
+                if (not s.culling) or (post in traversed):
+                    pos = vec3(post[0], post[1], post[2]) + s.chunk_radius
+                    lod = min(
+                        math.trunc(pos.distance(cam.pos) / (s.dist_max / (1 + s.chunk_lod))),
+                        s.chunk_lod,
+                    )
+                    cam.chunk_set(post, ladder[lod])
+                else:
+                    cam.chunk_set(post, None)
+    return np.array(frames), updates
