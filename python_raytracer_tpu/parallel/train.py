@@ -48,10 +48,30 @@ def image_loss(table, settings, spec, arrays, rays, target, key=None):
     return jnp.mean((colors / 255.0 - target) ** 2)
 
 
+def project_material_table(table):
+    """Clamp the table to the physically-valid parameter domain.
+
+    Keeps optimization inside the region where the shading math is defined:
+    a negative absorption would make the bounce counter negative and the
+    falloff power (1 + bounces) ** (1 + falloff) complex (reference
+    lib.py:450 semantics assume non-negative bounce amounts)."""
+    from python_raytracer_tpu.scene import material as M
+
+    lo = jnp.zeros((M.NUM_PARAMS,))
+    hi = jnp.array([255.0, 255.0, 255.0,  # albedo
+                    1.0,                   # roughness
+                    jnp.inf,               # absorption
+                    1.0,                   # ior
+                    jnp.inf,               # energy
+                    1.0,                   # solidity
+                    jnp.inf, jnp.inf, 1.0])  # weight, friction, elasticity
+    return jnp.clip(table, lo[None, :], hi[None, :])
+
+
 def make_train_step(settings: Settings, spec: GridSpec,
                     optimizer: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None, max_hits: int = 16,
-                    programs_used=(0,)):
+                    programs_used=(0,), project=None, grad_mask=None):
     """Build a jitted train step. With a mesh, rays are sharded on the batch
     axis ('data') and everything else is replicated; jit inserts the psum for
     the table gradient.
@@ -71,8 +91,16 @@ def make_train_step(settings: Settings, spec: GridSpec,
             return jnp.mean((color / 255.0 - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(arrays.material_table)
+        if grad_mask is not None:
+            # Restrict optimization to chosen parameters: gradients are exact
+            # only on fixed hit trajectories (BASELINE.json north star), so
+            # trajectory-shaping parameters (absorption/ior/roughness) are
+            # often better frozen or regularized by the caller.
+            grads = grads * grad_mask
         updates, opt_state = optimizer.update(grads, opt_state, arrays.material_table)
         table = optax.apply_updates(arrays.material_table, updates)
+        if project is not None:
+            table = project(table)
         return dataclasses.replace(arrays, material_table=table), opt_state, loss
 
     if mesh is None:
