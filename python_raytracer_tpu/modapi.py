@@ -108,9 +108,53 @@ class vec3:
     def distance(self, other):
         return math.dist(self.array(), [other[0], other[1], other[2]])
 
+    def quaternion(self):
+        """Euler degrees -> quaternion (reference lib.py:322-338)."""
+        from python_raytracer_tpu.utils.hostmath import euler_to_quat_h
+
+        return quaternion(*euler_to_quat_h((self.x, self.y, self.z)))
+
 
 def rgb(r, g, b):
     return _rgb_tuple(r, g, b)
+
+
+class quaternion:
+    """Quaternion shim for mod scripts (reference lib.py:341-376 surface)."""
+
+    __slots__ = ("x", "y", "z", "w")
+
+    def __init__(self, x, y, z, w):
+        self.x, self.y, self.z, self.w = x, y, z, w
+
+    def __iter__(self):
+        return iter((self.x, self.y, self.z, self.w))
+
+    def __getitem__(self, i):
+        return (self.x, self.y, self.z, self.w)[i]
+
+    def dot(self, other):
+        return self.x * other.x + self.y * other.y + self.z * other.z + self.w * other.w
+
+    def multiply(self, other):
+        from python_raytracer_tpu.utils.hostmath import quat_multiply_h
+
+        return quaternion(*quat_multiply_h(tuple(self), tuple(other)))
+
+    def vec_right(self):
+        from python_raytracer_tpu.utils.hostmath import quat_vec_right_h
+
+        return vec3(*quat_vec_right_h(tuple(self)))
+
+    def vec_up(self):
+        from python_raytracer_tpu.utils.hostmath import quat_vec_up_h
+
+        return vec3(*quat_vec_up_h(tuple(self)))
+
+    def vec_forward(self):
+        from python_raytracer_tpu.utils.hostmath import quat_vec_forward_h
+
+        return vec3(*quat_vec_forward_h(tuple(self)))
 
 
 class store:
@@ -215,6 +259,7 @@ def load_mod(
     lib_mod = types.ModuleType("python_raytracer_tpu._mod_lib")
     for name, sym in (
         ("vec2", vec2), ("vec3", vec3), ("rgb", rgb), ("store", store),
+        ("quaternion", quaternion),
         ("material", material), ("material_background", material_background),
         ("grid", grid), ("merge", merge), ("unpack", unpack),
         ("average", average), ("rand", rand), ("mix", mix), ("normalize", normalize),

@@ -215,14 +215,13 @@ def march(
 ) -> MarchResult:
     """March a batch of rays to completion. See module docstring.
 
-    Segmented execution (the grid-TP path, parallel/gridshard.py):
-    ``resume_state`` continues a previous partial march, ``num_iters`` caps
-    this segment, ``finalize=False`` returns the raw state in
-    ``MarchResult.hits`` position... no — returns a MarchResult whose fields
-    reflect the unfinished state and sets ``.state`` for resumption;
-    ``slab=(x0, width)`` restricts progress to rays whose current cell lies
-    in the given grid X-slab (others stay frozen) with ``arrays.cell_word``
-    holding only that slab.
+    Segmented execution (parallel/gridshard.py, ops/compact.py):
+    ``resume_state`` continues a previous partial march; ``num_iters`` caps
+    this segment's iterations; with ``finalize=False`` the background is
+    skipped and the call returns ``(MarchResult-of-raw-state, state)`` for
+    resumption; ``slab=(x0_cells, width_cells)`` restricts progress to rays
+    whose current cell lies in that grid X-slab (others stay frozen with
+    exact state) with ``arrays.cell_word`` holding only the slab.
     """
     n = rays.pos.shape[0]
     dtype = rays.pos.dtype
