@@ -69,3 +69,27 @@ def test_compacted_records_hits():
     np.testing.assert_array_equal(np.asarray(got.hits.count), np.asarray(ref.hits.count))
     np.testing.assert_array_equal(np.asarray(got.hits.vid), np.asarray(ref.hits.vid))
     np.testing.assert_array_equal(np.asarray(got.hits.u), np.asarray(ref.hits.u))
+
+
+def test_render_frame_compacted_matches_render_frame():
+    import jax
+
+    from python_raytracer_tpu.ops.render import render_frame, render_frame_compacted
+
+    st = default_settings().replace(width=16, height=12, exact=True)
+    scene = build_default_scene(st)
+    cam_pos = np.array(scene.player.cam_pos)
+    cam_rot = np.array(scene.player.cam_rot)
+    cs = compile_scene(scene, cam_pos=cam_pos)
+    from python_raytracer_tpu.utils.tape import make_static_tape
+
+    tape = make_static_tape(st)
+    img_a, trav_a = render_frame(st, cs.spec, cs.arrays, cam_pos, cam_rot,
+                                 tape=tape, record_traversed=True,
+                                 programs_used=cs.programs_used)
+    img_b, trav_b = render_frame_compacted(st, cs.spec, cs.arrays, cam_pos, cam_rot,
+                                           tape=tape, record_traversed=True,
+                                           programs_used=cs.programs_used,
+                                           segment_iters=8, min_width=16)
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+    np.testing.assert_array_equal(np.asarray(trav_a), np.asarray(trav_b))
