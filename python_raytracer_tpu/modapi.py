@@ -46,11 +46,78 @@ class vec2:
     def __len__(self):
         return 2
 
+    def _bin(self, other, op):
+        if isinstance(other, vec2):
+            return vec2(op(self.x, other.x), op(self.y, other.y))
+        return vec2(op(self.x, other), op(self.y, other))
+
+    def __add__(self, o):
+        return self._bin(o, lambda a, b: a + b)
+
+    def __sub__(self, o):
+        return self._bin(o, lambda a, b: a - b)
+
+    def __mul__(self, o):
+        return self._bin(o, lambda a, b: a * b)
+
+    def __truediv__(self, o):
+        return self._bin(o, lambda a, b: a / b)
+
+    def __floordiv__(self, o):
+        return self._bin(o, lambda a, b: a // b)
+
+    def __neg__(self):
+        return vec2(-self.x, -self.y)
+
+    def __eq__(self, o):
+        if isinstance(o, vec2):
+            return self.x == o.x and self.y == o.y
+        return self.x == o and self.y == o
+
+    def __ne__(self, o):
+        return not self.__eq__(o)
+
     def array(self):
         return [self.x, self.y]
 
     def tuple(self):
         return (self.x, self.y)
+
+    def mins(self):
+        return min(self.x, self.y)
+
+    def maxs(self):
+        return max(self.x, self.y)
+
+    def min(self, o):
+        if isinstance(o, vec2):
+            return vec2(min(self.x, o.x), min(self.y, o.y))
+        return vec2(min(self.x, o), min(self.y, o))
+
+    def max(self, o):
+        if isinstance(o, vec2):
+            return vec2(max(self.x, o.x), max(self.y, o.y))
+        return vec2(max(self.x, o), max(self.y, o))
+
+    def distance(self, other):
+        return math.dist(self.array(), [other[0], other[1]])
+
+    def total(self):
+        return (abs(self.x) + abs(self.y)) / 2
+
+    def mix(self, other, bias1):
+        return self * (1 - bias1) + other * bias1
+
+    def normalize(self):
+        ref = max(abs(self.x), abs(self.y))
+        if ref and ref != 1:
+            return vec2(self.x / ref, self.y / ref)
+        return self
+
+    def snapped(self, unit):
+        if isinstance(unit, vec2):
+            return vec2((self.x // unit.x) * unit.x, (self.y // unit.y) * unit.y)
+        return vec2((self.x // unit) * unit, (self.y // unit) * unit)
 
 
 class vec3:
@@ -104,6 +171,49 @@ class vec3:
 
     def maxs(self):
         return max(self.x, self.y, self.z)
+
+    def __eq__(self, o):
+        if isinstance(o, vec3):
+            return self.x == o.x and self.y == o.y and self.z == o.z
+        return self.x == o and self.y == o and self.z == o
+
+    def __ne__(self, o):
+        return not self.__eq__(o)
+
+    def __abs__(self):
+        return vec3(abs(self.x), abs(self.y), abs(self.z))
+
+    def min(self, o):
+        if isinstance(o, vec3):
+            return vec3(min(self.x, o.x), min(self.y, o.y), min(self.z, o.z))
+        return vec3(min(self.x, o), min(self.y, o), min(self.z, o))
+
+    def max(self, o):
+        if isinstance(o, vec3):
+            return vec3(max(self.x, o.x), max(self.y, o.y), max(self.z, o.z))
+        return vec3(max(self.x, o), max(self.y, o), max(self.z, o))
+
+    def total(self):
+        return (abs(self.x) + abs(self.y) + abs(self.z)) / 3
+
+    def mix(self, other, bias1):
+        return self * (1 - bias1) + other * bias1
+
+    def rotate(self, other):
+        return vec3((self.x + other.x) % 360, (self.y + other.y) % 360,
+                    (self.z + other.z) % 360)
+
+    def normalize(self):
+        from python_raytracer_tpu.utils.hostmath import cheb_normalize_h
+
+        return vec3(*cheb_normalize_h((self.x, self.y, self.z)))
+
+    def snapped(self, unit):
+        if isinstance(unit, vec3):
+            return vec3((self.x // unit.x) * unit.x, (self.y // unit.y) * unit.y,
+                        (self.z // unit.z) * unit.z)
+        return vec3((self.x // unit) * unit, (self.y // unit) * unit,
+                    (self.z // unit) * unit)
 
     def distance(self, other):
         return math.dist(self.array(), [other[0], other[1], other[2]])
