@@ -72,6 +72,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     fwd_only = os.environ.get("BENCH_FWD_ONLY", "0") == "1"
     compact = os.environ.get("BENCH_COMPACT", "1") == "1"
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
 
     st = default_settings().replace(exact=False, static=False)
     scene = build_default_scene(st)
@@ -114,7 +115,8 @@ def main():
         def forward(table, rays):
             arrays = dataclasses.replace(cs.arrays, material_table=table)
             res = march(st, cs.spec, arrays, rays, key=key, background="sky",
-                        mode="while", programs_used=cs.programs_used)
+                        mode="while", programs_used=cs.programs_used,
+                        unroll=unroll)
             return jnp.mean(res.color / 255.0)
 
         fn = jax.jit(forward)
@@ -155,6 +157,7 @@ def main():
             "compile_sec": round(compile_s, 1),
             "fwd_only": fwd_only,
             "compact": compact,
+            "unroll": unroll,
             "device": str(jax.devices()[0]),
         },
     }))

@@ -388,6 +388,15 @@ def load_mod(
     data_mod.background = None
 
     init_path = os.path.join(mod_dir, "init.py")
+    if not os.path.exists(init_path):
+        available = sorted(
+            d for d in (os.listdir(root) if os.path.isdir(root) else [])
+            if os.path.exists(os.path.join(root, d, "init.py"))
+        )
+        raise FileNotFoundError(
+            f"Mod {mod!r} not found ({init_path} missing). "
+            f"Available mods in {root}: {', '.join(available) or '(none)'}"
+        )
     src = open(init_path).read()
     ns = {
         "__name__": f"mods.{mod}.init",

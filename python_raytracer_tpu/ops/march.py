@@ -212,6 +212,7 @@ def march(
     num_iters: Optional[int] = None,
     finalize: bool = True,
     slab=None,
+    unroll: int = 1,
 ) -> MarchResult:
     """March a batch of rays to completion. See module docstring.
 
@@ -464,6 +465,18 @@ def march(
             ),
         )
 
+    # Unrolled body: the per-ray masks make extra sub-steps no-ops for dead
+    # rays, so grouping `unroll` steps per loop trip is semantics-exact (the
+    # loop condition is just checked less often) and amortizes loop-control
+    # and scheduling overhead.
+    if unroll > 1:
+        single_body = body
+
+        def body(state):
+            for _ in range(unroll):
+                state = single_body(state)
+            return state
+
     if mode == "while":
         if slab is None:
             cond = lambda s: jnp.any(s.alive) & (s.it < max_iters)
@@ -481,7 +494,8 @@ def march(
         def scan_body(s, _):
             return ck_body(s), None
 
-        final, _ = jax.lax.scan(scan_body, init, None, length=max_iters)
+        final, _ = jax.lax.scan(scan_body, init, None,
+                                length=-(-max_iters // unroll))
     else:
         raise ValueError(f"mode must be 'while' or 'scan', got {mode!r}")
 

@@ -57,7 +57,8 @@ class Engine:
     """Owns the compiled scene and advances it frame by frame."""
 
     def __init__(self, scene: Scene, margin_chunks: int = 2, dtype=jnp.float32,
-                 key: Optional[jax.Array] = None, pipeline: Optional[bool] = None):
+                 key: Optional[jax.Array] = None, pipeline: Optional[bool] = None,
+                 compact: bool = False):
         self.scene = scene
         self.settings: Settings = scene.settings
         st = self.settings
@@ -86,15 +87,30 @@ class Engine:
             from python_raytracer_tpu.utils.tape import make_static_tape
 
             self._static_tape = jnp.asarray(make_static_tape(st), dtype)
-        self._render = jax.jit(
-            lambda arrays, cam_pos, cam_rot, lens, key: render_frame(
-                st, self.compiled.spec, arrays, cam_pos, cam_rot, lens,
-                key=key, tape=self._static_tape,
-                background=self.compiled.background or "sky",
-                mode="while", record_traversed=True, dtype=dtype,
-                programs_used=self.compiled.programs_used,
+        if compact:
+            # Host-orchestrated ray-compacted render (ops/compact.py):
+            # bit-identical, lower wall time when ray lifetimes diverge.
+            from python_raytracer_tpu.ops.render import render_frame_compacted
+
+            self._render = lambda arrays, cam_pos, cam_rot, lens, key: (
+                render_frame_compacted(
+                    st, self.compiled.spec, arrays, cam_pos, cam_rot, lens,
+                    key=key, tape=self._static_tape,
+                    background=self.compiled.background or "sky",
+                    record_traversed=True, dtype=dtype,
+                    programs_used=self.compiled.programs_used,
+                )
             )
-        )
+        else:
+            self._render = jax.jit(
+                lambda arrays, cam_pos, cam_rot, lens, key: render_frame(
+                    st, self.compiled.spec, arrays, cam_pos, cam_rot, lens,
+                    key=key, tape=self._static_tape,
+                    background=self.compiled.background or "sky",
+                    mode="while", record_traversed=True, dtype=dtype,
+                    programs_used=self.compiled.programs_used,
+                )
+            )
         if st.culling and scene.player is not None:
             self._rebake()
 

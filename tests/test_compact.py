@@ -93,3 +93,14 @@ def test_render_frame_compacted_matches_render_frame():
                                            segment_iters=8, min_width=16)
     np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
     np.testing.assert_array_equal(np.asarray(trav_a), np.asarray(trav_b))
+
+
+def test_unrolled_march_equals_plain():
+    st, cs, rays, key = _setup()
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used)
+    for u in (2, 4):
+        got = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                    mode="while", programs_used=cs.programs_used, unroll=u)
+        np.testing.assert_array_equal(np.asarray(got.color), np.asarray(ref.color))
+        np.testing.assert_array_equal(np.asarray(got.step), np.asarray(ref.step))
