@@ -51,15 +51,23 @@ class RecordingRandom:
         return self._rng.getrandbits(k)
 
 
-def load_reference(mod: str = "default"):
-    """Import the reference engine headlessly; returns (lib, data, Camera)."""
+def load_reference(mod: str = "default", content_root: str = None):
+    """Import the reference engine headlessly; returns (lib, data, Camera).
+
+    ``content_root``: directory whose ``mods/<mod>/`` holds the scene to
+    load (the reference resolves mod paths relative to the CWD,
+    data.py:16-17); defaults to the reference's own tree."""
     os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
-    os.chdir(REF_PATH)
+    root = content_root or REF_PATH
+    os.chdir(root)
+    if root not in sys.path:
+        sys.path.insert(0, root)
     if REF_PATH not in sys.path:
         sys.path.insert(0, REF_PATH)
     sys.argv = ["init.py", mod]
-    for name in ("lib", "data"):
-        sys.modules.pop(name, None)
+    for name in list(sys.modules):
+        if name in ("lib", "data") or name.startswith("mods"):
+            sys.modules.pop(name, None)
     import lib  # noqa: E402
     import data  # noqa: E402
 
