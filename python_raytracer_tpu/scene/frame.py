@@ -111,6 +111,16 @@ class Frame:
         """Bulk voxel set in data3 format, packing once at the end
         (reference data.py:163-175)."""
         res = self.resolution
+        if force and res <= 1 and not self.data6 and all(
+            m is not None for m in voxels.values()
+        ):
+            # Bulk fast path (model import): no resolution filtering, no box
+            # unpacking, no per-voxel deletes — a plain dict update is
+            # semantically identical and C-speed.
+            self._version += 1
+            self.data3.update(voxels)
+            self.pack()
+            return
         for (x, y, z), mat in voxels.items():
             if res <= 1 or (x % res == 0 and y % res == 0 and z % res == 0):
                 if force or self.get_voxel((x, y, z)) is None:

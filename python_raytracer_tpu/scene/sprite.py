@@ -5,8 +5,8 @@ a list of Frames (animation frames), even-forced size, Goxel text import with
 the engine's coordinate transform, 90-degree-step rotated reads, mirrored
 reads, a wall-clock animation state machine, and a voxel edit API.
 
-TPU-first difference: the Goxel importer parses with NumPy (vectorized line
-parse) instead of a per-line Python loop, and every (frame, rotation) pair can
+TPU-first difference: the Goxel importer parses with a native C parser
+(python_raytracer_tpu/native) instead of a per-line Python loop, and every (frame, rotation) pair can
 be compiled to a dense uint16 id grid (``to_dense``) that the scene compiler
 scatters into the device-resident world grid. Animation time is injected by
 the runtime clock instead of reading a global Pygame ticker.
@@ -63,29 +63,28 @@ class Sprite:
         width, Y and Z swapped (Goxel is Z-up, the engine is Y-up) — reference
         data.py:271-289 (``post = size.x - x, z, y``).
         """
+        from python_raytracer_tpu.native import parse_goxel_text
+
         for fi in range(min(len(files), len(self.frames))):
             path = files[fi]
             ext = path.split(".")[-1]
             if ext == "txt":
-                fh = open(path, "rt")
+                data = open(path, "rb").read()
             elif ext == "gz":
-                fh = gzip.open(path, "rt")
+                data = gzip.open(path, "rb").read()
             else:
                 print(f"Warning: Cannot open sprite {path}, make sure the path and extension are correct.")
                 return
-            with fh:
-                voxels: Dict[tuple, Material] = {}
-                for line in fh:
-                    parts = line.strip().split(" ")
-                    if (
-                        len(parts) >= 4
-                        and parts[0].isdigit()
-                        and parts[1].isdigit()
-                        and parts[2].isdigit()
-                        and parts[3] in materials
-                    ):
-                        post = (self.size[0] - int(parts[0]), int(parts[2]), int(parts[1]))
-                        voxels[post] = materials[parts[3]]
+            xs, ys, zs, cols = parse_goxel_text(data)
+            # Engine coordinate transform (reference data.py:287) vectorized;
+            # colors not present in the materials dict are skipped
+            # (reference's `params[3] in materials` guard).
+            px = self.size[0] - xs
+            voxels: Dict[tuple, Material] = {}
+            for i, col in enumerate(cols):
+                mat = materials.get(col)
+                if mat is not None:
+                    voxels[(int(px[i]), int(zs[i]), int(ys[i]))] = mat
             self.get_frame(fi).set_voxels(voxels, True)
 
     def copy(self) -> "Sprite":
