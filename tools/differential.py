@@ -102,7 +102,11 @@ def gen_mod(seed: int, mod_dir: str):
     n_objs = int(rng.integers(1, 4))
     for oi in range(n_objs):
         size = int(rng.choice([4, 6, 8]))
-        lines.append(f"s{oi} = data.Sprite(size=vec3({size}, {size}, {size}), frames=1, lod=0)")
+        # sprite lod > 0 stores frames at resolution lod+1 (reference
+        # data.py:268): voxels at non-divisible positions are filtered and
+        # stored cells expand to r-cubes — exercise both paths
+        lod = int(rng.choice([0, 0, 0, 1]))
+        lines.append(f"s{oi} = data.Sprite(size=vec3({size}, {size}, {size}), frames=1, lod={lod})")
         n_vox = int(rng.integers(6, size ** 3 // 2))
         for _ in range(n_vox):
             x, y, z = (int(v) for v in rng.integers(0, size, 3))
