@@ -22,22 +22,44 @@ import numpy as np
 
 
 def _device_health_ms():
-    """Milliseconds for 10 dependent 1024^3 matmuls (healthy v5e: < 10 ms).
+    """Milliseconds for 10 dependent 1024^3 matmuls (healthy v5e: < 10 ms
+    plus one tunnel round-trip).
 
-    The axon-tunneled TPU intermittently degrades ~1000x for long stretches;
-    benchmarking in such a window would grossly misreport the framework."""
+    IMPORTANT measurement fact (verified): ``block_until_ready`` does NOT
+    synchronize on the axon-tunneled TPU platform — it returns once the
+    execution is enqueued, not when it finishes. The only reliable fence is
+    a host readback of output data, so every timing here ends with
+    ``np.asarray(...)`` of a tiny slice. The readback also pays one tunnel
+    RTT (~25-40 ms), which the caller subtracts via ``_rtt_ms``."""
     import jax
     import jax.numpy as jnp
 
     x = jnp.ones((1024, 1024))
     f = jax.jit(lambda a: a @ a)
-    f(x).block_until_ready()
+    np.asarray(f(x)[0, :4])
     t0 = time.time()
     o = x
     for _ in range(10):
         o = f(o * 0.5)
-    o.block_until_ready()
-    return (time.time() - t0) * 1000
+    np.asarray(o[0, :4])
+    return (time.time() - t0) * 1000 - _rtt_ms()
+
+
+def _rtt_ms(reps=3):
+    """Median tunnel round-trip: trivial execution + 8-byte readback."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((2,), jnp.int32)
+    np.asarray(f(x))
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        np.asarray(f(x))
+        ts.append((time.time() - t0) * 1000)
+    ts.sort()
+    return ts[len(ts) // 2]
 
 
 def main():
@@ -71,7 +93,11 @@ def main():
     n_rays = int(os.environ.get("BENCH_RAYS", "393216"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     fwd_only = os.environ.get("BENCH_FWD_ONLY", "0") == "1"
-    compact = os.environ.get("BENCH_COMPACT", "1") == "1"
+    # Compact mode is host-orchestrated (one dispatch per march segment);
+    # over the axon tunnel each dispatch pays RPC latency, measured ~60x
+    # slower end-to-end than the single-dispatch while-march despite doing
+    # less device work. Default to the single-dispatch path.
+    compact = os.environ.get("BENCH_COMPACT", "0") == "1"
     unroll = int(os.environ.get("BENCH_UNROLL", "1"))
 
     st = default_settings().replace(exact=False, static=False)
@@ -132,17 +158,24 @@ def main():
 
         fn = jax.jit(jax.value_and_grad(forward))
 
+    def fence(out):
+        # block_until_ready is a no-op on axon (see _device_health_ms):
+        # fence on a tiny data readback of the first output leaf.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.ravel()[:4])
+
     table = cs.arrays.material_table
     t0 = time.time()
-    out = fn(table, rays)
-    jax.block_until_ready(out)
+    fence(fn(table, rays))
     compile_s = time.time() - t0
 
+    rtt = _rtt_ms()
     t0 = time.time()
+    out = None
     for _ in range(iters):
         out = fn(table, rays)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+    fence(out)  # device executions are stream-serialized: one fence waits for all
+    dt = max(1e-9, (time.time() - t0) - rtt / 1e3) / iters
 
     mrays = n_rays / dt / 1e6
     print(json.dumps({
@@ -158,6 +191,7 @@ def main():
             "fwd_only": fwd_only,
             "compact": compact,
             "unroll": unroll,
+            "rtt_ms": round(rtt, 1),
             "device": str(jax.devices()[0]),
         },
     }))
