@@ -353,23 +353,24 @@ def march(
         iorcls = (word >> C.WORD_IORCLS_SHIFT) & C.WORD_IORCLS_MASK
         do_ior = hit & ~term & (iorcls != 0)
         direction = (mat.ior - 0.5) * 2.0
-        new_vel = vel
-        flips = []
-        for axis in range(3):
-            # Which neighbor is tested depends on the ray direction
-            # (init.py:94-96): + neighbor when vel < (ior-0.5)*2, else -.
-            toward = vel[:, axis] < direction
-            bit = C.WORD_FACE_SHIFT + axis * 2
-            face_flip = jnp.where(
-                toward, (word >> bit) & 1, (word >> (bit + 1)) & 1
-            )
-            flips.append(face_flip > 0)
-        for axis in range(3):
-            delta = new_vel[:, axis] - new_vel[:, axis] * mat.ior * 2.0
-            new_vel = new_vel.at[:, axis].set(
-                jnp.where(do_ior & flips[axis], delta, new_vel[:, axis])
-            )
-        vel = new_vel
+        # Which neighbor is tested depends on the ray direction
+        # (init.py:94-96): + neighbor when vel < (ior-0.5)*2, else -.
+        # Vectorized over axes: the per-axis flips are independent (each
+        # axis's delta reads only that axis), and the .at[:, axis].set form
+        # lowered to scatter-shaped HLO with a slow transpose/VJP.
+        bits = C.WORD_FACE_SHIFT + jnp.arange(3) * 2  # [3]
+        toward = vel < direction[:, None]  # [N, 3]
+        face_flip = jnp.where(
+            toward, (word[:, None] >> bits[None, :]) & 1,
+            (word[:, None] >> (bits[None, :] + 1)) & 1,
+        )
+        flips_mask = face_flip > 0  # [N, 3]
+        flips = [flips_mask[:, 0], flips_mask[:, 1], flips_mask[:, 2]]
+        vel = jnp.where(
+            (do_ior[:, None] & flips_mask),
+            vel - vel * mat.ior[:, None] * 2.0,
+            vel,
+        )
 
         hits_rec = state.hits
         if record_hits:
