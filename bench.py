@@ -98,6 +98,12 @@ def main():
     # slower end-to-end than the single-dispatch while-march despite doing
     # less device work. Default to the single-dispatch path.
     compact = os.environ.get("BENCH_COMPACT", "0") == "1"
+    # Ladder mode: on-device width-shrinking march (ops/compact.py
+    # march_ladder) — compaction's saved gathers without compact mode's
+    # per-segment dispatch RTT; single jit, bit-identical results. Schedule
+    # tuned from the default scene's survival curve (tools/survival_curve.py:
+    # 50% of rays dead by trip 19, 90% by 25, all by 35).
+    ladder = os.environ.get("BENCH_LADDER", "1") == "1"
     unroll = int(os.environ.get("BENCH_UNROLL", "1"))
 
     st = default_settings().replace(exact=False, static=False)
@@ -140,9 +146,15 @@ def main():
     elif fwd_only:
         def forward(table, rays):
             arrays = dataclasses.replace(cs.arrays, material_table=table)
-            res = march(st, cs.spec, arrays, rays, key=key, background="sky",
-                        mode="while", programs_used=cs.programs_used,
-                        unroll=unroll)
+            if ladder:
+                from python_raytracer_tpu.ops.compact import march_ladder
+                res = march_ladder(st, cs.spec, arrays, rays, key=key,
+                                   background="sky",
+                                   programs_used=cs.programs_used, unroll=unroll)
+            else:
+                res = march(st, cs.spec, arrays, rays, key=key, background="sky",
+                            mode="while", programs_used=cs.programs_used,
+                            unroll=unroll)
             return jnp.mean(res.color / 255.0)
 
         fn = jax.jit(forward)
@@ -150,7 +162,8 @@ def main():
         from python_raytracer_tpu.ops.diff import make_diff_renderer
 
         renderer = make_diff_renderer(st, cs.spec, max_hits=16,
-                                      programs_used=cs.programs_used)
+                                      programs_used=cs.programs_used,
+                                      forward="ladder" if ladder else "while")
 
         def forward(table, rays):
             color, _ = renderer(table, cs.arrays, rays, key)
@@ -190,6 +203,7 @@ def main():
             "compile_sec": round(compile_s, 1),
             "fwd_only": fwd_only,
             "compact": compact,
+            "ladder": ladder,
             "unroll": unroll,
             "rtt_ms": round(rtt, 1),
             "device": str(jax.devices()[0]),

@@ -135,3 +135,176 @@ def _per_ray_map_scatter(dst: _State, src: _State, order) -> _State:
             continue
         upd[f] = jax.tree_util.tree_map(lambda a, b: a.at[order].set(b), d, s)
     return dst._replace(**upd)
+
+
+# ---------------------------------------------------------------------------
+# On-device ladder march: compaction without host round trips.
+#
+# ``march_compacted`` above shrinks the batch with data-dependent widths,
+# which forces a device->host readback (``int(n_alive)``) per segment — over
+# the axon tunnel that RPC latency made it ~60x slower end to end than the
+# single-dispatch while-march despite doing less device work (bench notes).
+#
+# ``march_ladder`` keeps the whole ladder inside ONE jit: a *static* width
+# schedule (chosen from the scene's measured survival curve,
+# tools/survival_curve.py), with an alive-first stable co-sort of all per-ray
+# state between segments so each narrower segment is a static prefix slice.
+# TPU sorts are nearly free relative to the march's grid gathers
+# (lax.sort_key_val of 393k keys: 0.035 ms — ROADMAP perf facts), and the
+# sort applies ONE permutation to every payload column, so no row gathers
+# (measured slow) appear anywhere.
+#
+# Correctness: per-ray state is self-contained and PRNG draws are keyed by
+# per-ray progress counters (ops/march.py draws_for_iteration), so permuting
+# rays never changes any ray's trajectory. A final full-width segment
+# finishes any ray the static schedule under-provisioned for (e.g. more than
+# width survivors), so the result is bit-exact vs the plain march for EVERY
+# input, not just typical ones (tests/test_compact.py::test_ladder_*).
+# ---------------------------------------------------------------------------
+
+
+def _per_ray_leaves(state: _State, tape):
+    """Flatten all per-ray arrays to a list of [n] columns + rebuild recipe."""
+    leaves = []
+    recipe = []  # (field_path, shape, dtype, n_cols)
+    items = [(f, getattr(state, f)) for f in state._fields if f not in _GLOBAL_FIELDS]
+    flat = []
+    for f, v in items:
+        if v is None:
+            continue
+        sub_leaves, treedef = jax.tree_util.tree_flatten(v)
+        flat.append((f, treedef, sub_leaves))
+    if tape is not None:
+        flat.append(("__tape__", None, [tape]))
+    for f, treedef, sub_leaves in flat:
+        for arr in sub_leaves:
+            n = arr.shape[0]
+            a2 = arr.reshape(n, -1)
+            k = a2.shape[1]
+            recipe.append((f, arr.shape, arr.dtype, k))
+            for j in range(k):
+                col = a2[:, j]
+                if col.dtype == jnp.bool_:
+                    col = col.astype(jnp.int32)
+                leaves.append(col)
+    return leaves, recipe, [(f, treedef) for f, treedef, _ in flat]
+
+
+def _rebuild(state: _State, cols, recipe, treedefs):
+    out_tape = None
+    per_field = {}
+    i = 0
+    for f, shape, dtype, k in recipe:
+        n = cols[0].shape[0]
+        stacked = jnp.stack(cols[i : i + k], axis=1).reshape((n,) + shape[1:])
+        i += k
+        if dtype == jnp.bool_:
+            stacked = stacked.astype(jnp.bool_)
+        else:
+            stacked = stacked.astype(dtype)
+        per_field.setdefault(f, []).append(stacked)
+    upd = {}
+    for f, treedef in treedefs:
+        leaves = per_field[f]
+        if f == "__tape__":
+            out_tape = leaves[0]
+        else:
+            upd[f] = jax.tree_util.tree_unflatten(treedef, leaves)
+    return state._replace(**upd), out_tape
+
+
+def _co_sort(key_col, state: _State, tape, sid):
+    """Stable-sort every per-ray column (plus sid and optional tape rows) by
+    ``key_col`` ascending, with one multi-operand lax.sort (one permutation,
+    no gathers)."""
+    cols, recipe, treedefs = _per_ray_leaves(state, tape)
+    out = jax.lax.sort([key_col, sid] + cols, dimension=0, is_stable=True, num_keys=1)
+    sid = out[1]
+    state, tape = _rebuild(state, list(out[2:]), recipe, treedefs)
+    return state, tape, sid
+
+
+def march_ladder(
+    settings: Settings,
+    spec: GridSpec,
+    arrays: SceneArrays,
+    rays: RayBatch,
+    *,
+    key=None,
+    tape=None,
+    tape_ptr=None,
+    programs_used: Tuple[int, ...] = (0,),
+    background: Optional[str] = "sky",
+    record_traversed: bool = False,
+    record_hits: int = 0,
+    schedule: Tuple[Tuple[int, int], ...] = ((20, 1), (5, 2), (11, 8)),
+    min_width: int = 256,
+    unroll: int = 1,
+    finalize: bool = True,
+):
+    """Bit-exact drop-in for ``march(mode="while")``, single dispatch.
+
+    ``schedule``: static ((iters, width_divisor), ...) — segment s marches the
+    first n/width_divisor rays (after an alive-first co-sort) for at most
+    ``iters`` trips. After the schedule a full-width segment runs to
+    ``settings.march_steps`` so stragglers (rays the static widths didn't
+    cover) always finish — exactness never depends on the schedule fitting.
+    """
+    n = rays.pos.shape[0]
+    if key is None and tape is None:
+        key = jax.random.PRNGKey(0)
+
+    def seg(state, seg_tape, iters, width):
+        sub = _slice_state(state, width)
+        sub_rays = RayBatch(sub.pos, sub.vel, sub.life)
+        _, out = march(
+            settings, spec, arrays, sub_rays,
+            key=key, tape=None if seg_tape is None else seg_tape[:width],
+            programs_used=programs_used, background=background, mode="while",
+            record_traversed=record_traversed, record_hits=record_hits,
+            resume_state=sub, num_iters=iters, finalize=False, unroll=unroll,
+        )
+        return _paste_state(state, out, width)
+
+    state = initial_state(settings, spec, rays, record_hits=record_hits,
+                          tape_ptr=tape_ptr)
+    sid = jnp.arange(n, dtype=jnp.int32)
+    spent = 0
+    for iters, div in schedule:
+        width = max(min_width, n // div)
+        if width >= n:
+            width = n
+        else:
+            state, tape, sid = _co_sort(
+                (~state.alive).astype(jnp.int32), state, tape, sid
+            )
+        state = seg(state, tape, iters, width)
+        spent += iters
+    if spent < settings.march_steps:
+        state = seg(state, tape, settings.march_steps - spent, n)
+    # Restore the original ray order (one more co-sort, keyed by slot id).
+    state, tape, sid = _co_sort(sid, state, tape, sid)
+    if not finalize:
+        return state
+    return finalize_background(settings, state, background)
+
+
+def _slice_state(state: _State, width: int) -> _State:
+    return _per_ray_map(state, lambda x: x[:width])
+
+
+def _paste_state(full: _State, sub: _State, width: int) -> _State:
+    upd = {}
+    for f in full._fields:
+        d = getattr(full, f)
+        s = getattr(sub, f)
+        if d is None:
+            continue
+        if f in _GLOBAL_FIELDS:
+            # Global fields advanced during the segment (traversed OR-mask).
+            upd[f] = s
+            continue
+        upd[f] = jax.tree_util.tree_map(
+            lambda a, b: jax.lax.dynamic_update_slice_in_dim(a, b, 0, axis=0), d, s
+        )
+    return full._replace(**upd)

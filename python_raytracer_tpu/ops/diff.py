@@ -113,10 +113,17 @@ def make_diff_renderer(
     background: Optional[str] = "sky",
     max_hits: int = 16,
     programs_used=(0,),
+    forward: str = "while",
+    ladder_schedule=((20, 1), (5, 2), (11, 8)),
 ):
     """Build ``render(table, arrays, rays, key) -> (color [N,3], energy [N])``
     differentiable w.r.t. ``table`` with the while-march forward + hit-replay
     backward. ``arrays.material_table`` is ignored in favor of ``table``.
+
+    ``forward="ladder"`` uses the on-device width-ladder march
+    (ops/compact.py march_ladder): bit-identical output, fewer full-width
+    grid gathers (the march's measured bottleneck); ``ladder_schedule`` comes
+    from the scene's survival curve (tools/survival_curve.py).
 
     Diff-path ABI note: custom material programs are replayed with zeroed
     ``step``/``life`` ray fields (they are not outputs); programs whose
@@ -126,10 +133,19 @@ def make_diff_renderer(
 
     def _forward(table, arrays: SceneArrays, rays: RayBatch, key):
         arr = dataclasses.replace(arrays, material_table=table)
-        res = march(
-            settings, spec, arr, rays, key=key, background=background,
-            mode="while", record_hits=max_hits, programs_used=programs_used,
-        )
+        if forward == "ladder":
+            from python_raytracer_tpu.ops.compact import march_ladder
+
+            res = march_ladder(
+                settings, spec, arr, rays, key=key, background=background,
+                record_hits=max_hits, programs_used=programs_used,
+                schedule=ladder_schedule,
+            )
+        else:
+            res = march(
+                settings, spec, arr, rays, key=key, background=background,
+                mode="while", record_hits=max_hits, programs_used=programs_used,
+            )
         return (res.color, res.energy), (res.hits, rays.vel, arrays.program)
 
     @jax.custom_vjp

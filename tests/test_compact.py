@@ -104,3 +104,48 @@ def test_unrolled_march_equals_plain():
                     mode="while", programs_used=cs.programs_used, unroll=u)
         np.testing.assert_array_equal(np.asarray(got.color), np.asarray(ref.color))
         np.testing.assert_array_equal(np.asarray(got.step), np.asarray(ref.step))
+
+
+def test_ladder_equals_plain_key_mode():
+    from python_raytracer_tpu.ops.compact import march_ladder
+
+    st, cs, rays, key = _setup()
+    # Reference must also run under jit: XLA fusion (FMA contraction) makes
+    # jitted float math differ from eager by ulps, which key-mode noise
+    # amplifies through discrete branches. Jitted-vs-jitted is bit-exact.
+    ref = jax.jit(lambda r: march(
+        st, cs.spec, cs.arrays, r, key=key, background="sky",
+        mode="while", programs_used=cs.programs_used,
+        record_traversed=True, record_hits=8))(rays)
+    # Deliberately under-provisioned schedule (width too small for the real
+    # survivor count) so the full-width cleanup segment is exercised too.
+    got = jax.jit(lambda r: march_ladder(
+        st, cs.spec, cs.arrays, r, key=key, background="sky",
+        programs_used=cs.programs_used, record_traversed=True, record_hits=8,
+        schedule=((4, 1), (4, 2), (4, 8)), min_width=16))(rays)
+    np.testing.assert_array_equal(np.asarray(got.color), np.asarray(ref.color))
+    np.testing.assert_array_equal(np.asarray(got.energy), np.asarray(ref.energy))
+    np.testing.assert_array_equal(np.asarray(got.step), np.asarray(ref.step))
+    np.testing.assert_array_equal(np.asarray(got.bounces), np.asarray(ref.bounces))
+    np.testing.assert_array_equal(np.asarray(got.traversed), np.asarray(ref.traversed))
+    np.testing.assert_array_equal(np.asarray(got.hits.count), np.asarray(ref.hits.count))
+    np.testing.assert_array_equal(np.asarray(got.hits.vid), np.asarray(ref.hits.vid))
+    np.testing.assert_array_equal(np.asarray(got.hits.u), np.asarray(ref.hits.u))
+    np.testing.assert_array_equal(np.asarray(got.hits.flip), np.asarray(ref.hits.flip))
+
+
+def test_ladder_equals_plain_tape_mode():
+    from python_raytracer_tpu.ops.compact import march_ladder
+
+    st, cs, rays, _ = _setup(static=True)
+    n = rays.pos.shape[0]
+    rng = np.random.default_rng(0)
+    tape = jnp.asarray(rng.random((n, 32)), jnp.float32)
+    ptr0 = jnp.full((n,), 3, jnp.int32)
+    ref = march(st, cs.spec, cs.arrays, rays, tape=tape, tape_ptr=ptr0,
+                background="sky", mode="while", programs_used=cs.programs_used)
+    got = march_ladder(st, cs.spec, cs.arrays, rays, tape=tape, tape_ptr=ptr0,
+                       background="sky", programs_used=cs.programs_used,
+                       schedule=((6, 1), (6, 4)), min_width=16)
+    np.testing.assert_array_equal(np.asarray(got.color), np.asarray(ref.color))
+    np.testing.assert_array_equal(np.asarray(got.step), np.asarray(ref.step))
