@@ -1,0 +1,671 @@
+"""Pallas TPU blockwise march: the production kernel for the hot loop.
+
+The XLA march (ops/march.py) is ~90% bound by its one cell-word gather per
+ray-step (~15 ns/element on TPU regardless of context — measured, ROADMAP.md
+perf facts). This kernel removes every HBM gather from the inner loop by
+marching rays against chunk blocks staged in VMEM and turning all per-lane
+lookups into one-hot matmuls on the MXU (exact: a single 1.0 per column
+selects a value bit-for-bit, and the 16-bit halves survive the f32->bf16
+3-pass decomposition because the one-hot's low part is exactly zero).
+
+Design (tile-persistent, vote + DMA — the structure validated by
+tools/skeleton_kernel.py, upgraded to full march semantics):
+
+* rays live on the *lane* axis everywhere: per-ray state is [rows, N] with
+  W-lane tiles per kernel instance, so every elementwise op fills whole
+  8x128 VPU rows and no transposes/relayouts appear in the hot path. The
+  one-hot lookups run "transposed": ``value_table[rows, K] @ onehot[K, W]``
+  with the one-hot built by broadcasting the per-lane index across sublanes
+  (free) and comparing against a sublane iota.
+* the voxel grid is paged per chunk: ``blocks[C, 64, 128]`` f32 where
+  ``blocks[c, lo, hi]`` / ``blocks[c, 32+lo, hi]`` hold the low/high 16-bit
+  halves of the packed cell word (scene/compile.py layout) of local cell
+  ``hi*32 + lo``. A chunk-level ``coarse`` table (res | chunk_id<<3) serves
+  chunk switches and void detection.
+* each W-lane tile is G = W/256 groups of 256 rays (rays are pre-sorted by
+  starting chunk, and 256-ray groups measured 1.10x padding overhead —
+  tools/analyze_coherence.py). Per episode every group *votes* for the
+  chunk page its most-starved waiting lane needs, DMAs it HBM->VMEM, and an
+  inner loop marches every lane whose chunk is loaded (or who is in void —
+  void skips need no data). Lanes whose chunk is not resident freeze with
+  exact state; per-ray-progress PRNG keys (ops/march.py draws_for_iteration)
+  make any freeze/resume order bit-identical to the plain march.
+* hit records are packed one int32 per hit (vid | flip<<12 | rough<<15 |
+  ptr<<16); the jitter uniforms are *regenerated* outside the kernel from
+  the recorded progress counter via utils/rng.py (bit-exact threefry
+  replica), so the backward's HitRecords tape is byte-identical to the XLA
+  march's and the hit-replay VJP (ops/diff.py) is reused unchanged.
+* host side does exactly TWO multi-operand co-sorts: one initial sort by
+  (starting chunk, direction octant) for coherence, one final unsort by
+  slot id. After the kernel an XLA cleanup march finishes any ray the
+  static episode/iteration caps under-provisioned for, so the result is
+  bit-exact vs ``march(mode="while")`` for EVERY input, not just typical
+  ones (tests/test_blockmarch.py).
+
+Replaces the reference's per-pixel Python march loop (reference
+``init.py:66-116``); every semantic rule is inherited from ops/march.py
+which cites the reference line-by-line.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from python_raytracer_tpu.config import Settings
+from python_raytracer_tpu.ops import programs as P
+from python_raytracer_tpu.ops.march import (
+    HitRecords,
+    MarchResult,
+    RayBatch,
+    _State,
+    finalize_background,
+    march,
+)
+from python_raytracer_tpu.scene import compile as C
+from python_raytracer_tpu.scene import material as M
+from python_raytracer_tpu.scene.compile import GridSpec, SceneArrays
+from python_raytracer_tpu.utils import rng as R
+
+# f32 state rows
+_F_POS = 0      # 0..2
+_F_VEL = 3      # 3..5
+_F_COLOR = 6    # 6..8
+_F_ENERGY = 9
+_F_STEP = 10
+_F_LIFE = 11
+_F_BOUNCES = 12
+_F_CMIN = 13    # 13..15
+F_ROWS = 16
+
+# i32 state rows
+_I_FLAGS = 0    # alive | has_box<<1 | cres<<2 | stall<<5 | page<<9
+_I_PTR = 1
+_I_COUNT = 2
+I_ROWS = 8
+
+_FLAG_ALIVE = 1
+_FLAG_HASBOX = 2
+_CRES_SHIFT = 2
+_STALL_SHIFT = 5
+_STALL_MAX = 15
+_PAGE_SHIFT = 9
+
+# packed hit record bits (see module docstring)
+_REC_VID_MASK = (1 << C.WORD_ID_BITS) - 1
+_REC_FLIP_SHIFT = 12
+_REC_ROUGH_SHIFT = 15
+_REC_PTR_SHIFT = 16
+
+
+def _pad_to(x, mult):
+    return -(-x // mult) * mult
+
+
+def pack_blocks(spec: GridSpec, cell_word, chunk_res):
+    """cell_word flat [X*Y*Z] -> (blocks [C, 64, 128] f32, coarse f32).
+
+    blocks[c, lo, hi] = low 16 bits of the word of local cell hi*32+lo;
+    blocks[c, 32+lo, hi] = high 15 bits (bit 31 unused by the layout).
+    coarse[cz, cx*CY+cy] = chunk_res | chunk_flat<<3 (exact in f32: <= 2^24).
+    Jittable; rebuilt on bake updates (cheap reshapes, no gathers).
+    """
+    cs = spec.chunk_size
+    if cs * cs * cs != 4096:
+        raise ValueError("blockmarch requires chunk_size 16")
+    CX, CY, CZ = spec.chunk_shape
+    w = cell_word.reshape(CX, cs, CY, cs, CZ, cs)
+    w = w.transpose(0, 2, 4, 1, 3, 5).reshape(CX * CY * CZ, 128, 32)
+    w = w.transpose(0, 2, 1)  # [C, lo, hi]
+    lo16 = (w & 0xFFFF).astype(jnp.float32)
+    hi16 = ((w >> 16) & 0x7FFF).astype(jnp.float32)
+    blocks = jnp.concatenate([lo16, hi16], axis=1)  # [C, 64, 128]
+
+    flat = jnp.arange(CX * CY * CZ, dtype=jnp.int32)
+    cword = chunk_res.astype(jnp.int32) | (flat << 3)
+    cword = cword.reshape(CX, CY, CZ).transpose(2, 0, 1).reshape(CZ, CX * CY)
+    coarse = jnp.zeros((_pad_to(CZ, 8), _pad_to(CX * CY, 8)), jnp.float32)
+    coarse = coarse.at[:CZ, : CX * CY].set(cword.astype(jnp.float32))
+    return blocks, coarse
+
+
+def pack_mat_rows(table):
+    """Material table [K, NUM_PARAMS] -> [8, Kpad] param-major f32 plane for
+    the transposed one-hot fetch (rows: albedo r/g/b, roughness, absorption,
+    ior, energy, pad)."""
+    perm = [M.PARAM_ALBEDO_R, M.PARAM_ALBEDO_G, M.PARAM_ALBEDO_B,
+            M.PARAM_ROUGHNESS, M.PARAM_ABSORPTION, M.PARAM_IOR,
+            M.PARAM_ENERGY]
+    k = table.shape[0]
+    out = jnp.zeros((8, _pad_to(k, 8)), jnp.float32)
+    return out.at[:7, :k].set(table.astype(jnp.float32).T[jnp.array(perm)])
+
+
+def _onehot_T(idx, k, w):
+    """[k, w] f32 one-hot of per-lane indices ``idx`` [w] (no match -> zero
+    column). Broadcast across sublanes is free; compare against sublane iota."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, w), 0)
+    return (rows == idx[None, :]).astype(jnp.float32)
+
+
+def _sublane_pick(rows_T, idx, k, w):
+    """rows_T [k, w] -> [w]: value at sublane idx[lane] per lane."""
+    sel = jax.lax.broadcasted_iota(jnp.int32, (k, w), 0) == idx[None, :]
+    return jnp.sum(jnp.where(sel, rows_T, 0.0), axis=0)
+
+
+def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
+                 record_hits: int, ep_cap: int, inner_cap: int,
+                 czp: int, cxyp: int, kp: int):
+    """Build the kernel body (all settings/geometry static)."""
+    cs = float(settings.chunk_size)
+    csi = settings.chunk_size
+    CX, CY, CZ = spec.chunk_shape
+    ox, oy, oz = (float(v) for v in spec.origin)
+    groups = w // 256
+    falloff_e = 1.0 + float(settings.falloff)
+    max_light = float(settings.max_light)
+    max_b = float(settings.max_bounces) + 1.0
+    lod_bounces = float(settings.lod_bounces)
+    chunk_radius = float(settings.chunk_radius)
+    H = record_hits
+
+    def kernel(scal_ref, F_in, I_in, R_in, blocks_hbm, coarse_ref, mat_ref,
+               F_out, I_out, R_out, bufs, sems):
+        F_out[:] = F_in[:]
+        I_out[:] = I_in[:]
+        if H:
+            R_out[:] = R_in[:]
+        k1 = scal_ref[0]
+        k2 = scal_ref[1]
+
+        group_of = jax.lax.broadcasted_iota(jnp.int32, (w,), 0) // 256
+
+        def read_state():
+            px, py, pz = F_out[_F_POS], F_out[_F_POS + 1], F_out[_F_POS + 2]
+            vx, vy, vz = F_out[_F_VEL], F_out[_F_VEL + 1], F_out[_F_VEL + 2]
+            flags = I_out[_I_FLAGS]
+            return px, py, pz, vx, vy, vz, flags
+
+        def episode_cond(carry):
+            ep, go, loaded = carry
+            return jnp.logical_and(ep < ep_cap, go)
+
+        def episode_body(carry):
+            ep, _, loaded = carry
+            flags = I_out[_I_FLAGS]
+            alive = (flags & _FLAG_ALIVE) > 0
+            cres = (flags >> _CRES_SHIFT) & 7
+            stall = (flags >> _STALL_SHIFT) & _STALL_MAX
+            page = flags >> _PAGE_SHIFT
+
+            # --- vote + DMA: each group fetches the page its most-starved
+            # waiting lane needs (max over stall<<12|page guarantees every
+            # waiting lane is eventually served) ---
+            needing = alive & (cres > 0) & (page != loaded)
+            votekey = jnp.where(needing, (stall << 20) | page, -1)
+            new_loaded = loaded
+            dmas = []
+            for g in range(groups):
+                vk = jnp.max(votekey[g * 256:(g + 1) * 256])
+                vote = jnp.where(vk >= 0, vk & 0xFFFFF, loaded[g * 256])
+                safe = jnp.clip(vote, 0, blocks_hbm.shape[0] - 1)
+                dma = pltpu.make_async_copy(blocks_hbm.at[safe], bufs.at[g],
+                                            sems.at[g])
+                dma.start()
+                dmas.append(dma)
+                new_loaded = jnp.where(group_of == g, vote, new_loaded)
+            for dma in dmas:
+                dma.wait()
+            loaded = new_loaded
+
+            # --- inner march loop: lanes in a loaded chunk or in void ---
+            def inner_cond(c):
+                it, go = c
+                return jnp.logical_and(it < inner_cap, go)
+
+            def inner_body(c):
+                it, _ = c
+                px, py, pz, vx, vy, vz, flags = read_state()
+                alive = (flags & _FLAG_ALIVE) > 0
+                has_box = (flags & _FLAG_HASBOX) > 0
+                cres = (flags >> _CRES_SHIFT) & 7
+                page = flags >> _PAGE_SHIFT
+                cmx = F_out[_F_CMIN]
+                cmy = F_out[_F_CMIN + 1]
+                cmz = F_out[_F_CMIN + 2]
+
+                active = alive & ((cres == 0) | (page == loaded))
+
+                # 1. active-chunk hysteresis (ops/march.py step 1,
+                #    reference init.py:67-73)
+                in_box = has_box & (
+                    (px >= cmx) & (px <= cmx + cs)
+                    & (py >= cmy) & (py <= cmy + cs)
+                    & (pz >= cmz) & (pz <= cmz + cs))
+                switch = active & ~in_box
+
+                def do_coarse(_):
+                    sx = jnp.floor(px / cs) * cs
+                    sy = jnp.floor(py / cs) * cs
+                    sz = jnp.floor(pz / cs) * cs
+                    ccx = ((sx - ox) / cs).astype(jnp.int32)
+                    ccy = ((sy - oy) / cs).astype(jnp.int32)
+                    ccz = ((sz - oz) / cs).astype(jnp.int32)
+                    in_grid = ((ccx >= 0) & (ccx < CX) & (ccy >= 0)
+                               & (ccy < CY) & (ccz >= 0) & (ccz < CZ))
+                    cxy = jnp.where(in_grid, ccx * CY + ccy, -1)
+                    czi_ = jnp.where(in_grid, ccz, -1)
+                    oh = _onehot_T(cxy, cxyp, w)
+                    rows_T = jnp.dot(coarse_ref[:], oh,
+                                     preferred_element_type=jnp.float32)
+                    cw = _sublane_pick(rows_T, czi_, czp, w).astype(jnp.int32)
+                    return cw & 7, cw >> 3, sx, sy, sz
+
+                any_switch = jnp.any(switch)
+                res_c, page_c, sx, sy, sz = jax.lax.cond(
+                    any_switch, do_coarse,
+                    lambda _: (jnp.zeros((w,), jnp.int32),
+                               jnp.zeros((w,), jnp.int32),
+                               px, py, pz), 0)
+                cmx = jnp.where(switch, sx, cmx)
+                cmy = jnp.where(switch, sy, cmy)
+                cmz = jnp.where(switch, sz, cmz)
+                has_box = has_box | switch
+                cres = jnp.where(switch, res_c, cres)
+                page = jnp.where(switch, page_c, page)
+
+                # lanes that switched into an unloaded chunk freeze NOW
+                # (resumed bit-exactly on a later episode / cleanup)
+                active = active & ((cres == 0) | (page == loaded))
+
+                # 2. cell-word fetch from the group's VMEM block
+                #    (ops/march.py step 2, reference init.py:76-77)
+                fx = jnp.floor(px)
+                fy = jnp.floor(py)
+                fz = jnp.floor(pz)
+                lx = (fx - cmx).astype(jnp.int32)
+                ly = (fy - cmy).astype(jnp.int32)
+                lz = (fz - cmz).astype(jnp.int32)
+                in_content = ((lx <= csi - 1) & (ly <= csi - 1)
+                              & (lz <= csi - 1))
+                cell = jnp.clip((lx * csi + ly) * csi + lz, 0, 4095)
+                lo = cell & 31
+                hi = cell >> 5
+                lo_parts, hi_parts = [], []
+                for g in range(groups):
+                    sl = slice(g * 256, (g + 1) * 256)
+                    oh = _onehot_T(hi[sl], 128, 256)
+                    rows_T = jnp.dot(bufs[g], oh,
+                                     preferred_element_type=jnp.float32)
+                    lo_parts.append(_sublane_pick(rows_T, lo[sl], 64, 256))
+                    hi_parts.append(_sublane_pick(rows_T, lo[sl] + 32, 64, 256))
+                lo16 = jnp.concatenate(lo_parts)
+                hi16 = jnp.concatenate(hi_parts)
+                word = lo16.astype(jnp.int32) | (hi16.astype(jnp.int32) << 16)
+                has_chunk = cres > 0
+                word = jnp.where(active & has_chunk & in_content, word, 0)
+                vid = word & C.WORD_ID_MASK
+                hit = vid > 0
+
+                # 3. material program (PBR inline; ops/march.py step 3,
+                #    reference init.py:81-86 + lib.py:448-460)
+                mrows = jnp.dot(mat_ref[:], _onehot_T(vid, kp, w),
+                                preferred_element_type=jnp.float32)
+                alb_r, alb_g, alb_b = mrows[0], mrows[1], mrows[2]
+                rough, absorb, ior, menergy = (mrows[3], mrows[4], mrows[5],
+                                               mrows[6])
+                color_r = F_out[_F_COLOR]
+                color_g = F_out[_F_COLOR + 1]
+                color_b = F_out[_F_COLOR + 2]
+                energy = F_out[_F_ENERGY]
+                step = F_out[_F_STEP]
+                life = F_out[_F_LIFE]
+                bounces = F_out[_F_BOUNCES]
+                ptr = I_out[_I_PTR]
+
+                has_rough = ((word >> C.WORD_ROUGH_SHIFT) & 1) > 0
+                need_draw = hit & has_rough
+
+                def draws(_):
+                    n1, n2 = R.fold_in_pair(k1, k2, ptr)
+                    return R.uniform3_parts(n1, n2)
+
+                half = jnp.full((w,), 0.5, jnp.float32)
+                u0, u1, u2 = jax.lax.cond(jnp.any(need_draw), draws,
+                                          lambda _: (half, half, half), 0)
+                u0 = jnp.where(need_draw, u0, 0.5)
+                u1 = jnp.where(need_draw, u1, 0.5)
+                u2 = jnp.where(need_draw, u2, 0.5)
+
+                absb = jnp.minimum(
+                    1.0, absorb / (1.0 + bounces) ** falloff_e)
+                n_color_r = color_r * (1 - absb) + alb_r * absb
+                n_color_g = color_g * (1 - absb) + alb_g * absb
+                n_color_b = color_b * (1 - absb) + alb_b * absb
+                n_energy = energy * (1 - absb) + menergy * absb
+                n_life = life * (1.0 - rough * absb)
+                n_vx = vx + (-1.0 + u0 * 2.0) * rough
+                n_vy = vy + (-1.0 + u1 * 2.0) * rough
+                n_vz = vz + (-1.0 + u2 * 2.0) * rough
+                bounce = absorb
+
+                color_r = jnp.where(hit, n_color_r, color_r)
+                color_g = jnp.where(hit, n_color_g, color_g)
+                color_b = jnp.where(hit, n_color_b, color_b)
+                energy = jnp.where(hit, n_energy, energy)
+                life = jnp.where(hit, n_life, life)
+                vx = jnp.where(hit, n_vx, vx)
+                vy = jnp.where(hit, n_vy, vy)
+                vz = jnp.where(hit, n_vz, vz)
+                bounces = jnp.where(hit, bounces + bounce, bounces)
+                cresf = cres.astype(jnp.float32)
+                life = jnp.where(
+                    hit, life / (cresf + bounce * lod_bounces), life)
+                # Chebyshev renormalize (utils/mathutils.py cheb_normalize)
+                ref = jnp.maximum(jnp.maximum(jnp.abs(vx), jnp.abs(vy)),
+                                  jnp.abs(vz))
+                refs = jnp.where(ref != 0, ref, 1.0)
+                vx = jnp.where(hit, jnp.where(ref != 0, vx / refs, vx), vx)
+                vy = jnp.where(hit, jnp.where(ref != 0, vy / refs, vy), vy)
+                vz = jnp.where(hit, jnp.where(ref != 0, vz / refs, vz), vz)
+                ptr_pre = ptr
+                ptr = ptr + active.astype(jnp.int32)
+
+                term = hit & ((step >= life) | (energy >= max_light)
+                              | (bounces >= max_b))
+
+                # 4. IOR face reflection (ops/march.py step 4,
+                #    reference init.py:88-111)
+                iorcls = (word >> C.WORD_IORCLS_SHIFT) & C.WORD_IORCLS_MASK
+                do_ior = hit & ~term & (iorcls != 0)
+                direction = (ior - 0.5) * 2.0
+                flips = []
+                for ax, v_ax in enumerate((vx, vy, vz)):
+                    bit = C.WORD_FACE_SHIFT + ax * 2
+                    toward = v_ax < direction
+                    f = jnp.where(toward, (word >> bit) & 1,
+                                  (word >> (bit + 1)) & 1)
+                    flips.append(f > 0)
+                vx = jnp.where(do_ior & flips[0], vx - vx * ior * 2.0, vx)
+                vy = jnp.where(do_ior & flips[1], vy - vy * ior * 2.0, vy)
+                vz = jnp.where(do_ior & flips[2], vz - vz * ior * 2.0, vz)
+
+                # hit record (packed; u regenerated outside the kernel)
+                count = I_out[_I_COUNT]
+                if H:
+                    @pl.when(jnp.any(hit))
+                    def _():
+                        fb = jnp.where(do_ior, (
+                            flips[0].astype(jnp.int32)
+                            | (flips[1].astype(jnp.int32) << 1)
+                            | (flips[2].astype(jnp.int32) << 2)), 0)
+                        rec = (vid | (fb << _REC_FLIP_SHIFT)
+                               | ((need_draw.astype(jnp.int32))
+                                  << _REC_ROUGH_SHIFT)
+                               | (ptr_pre << _REC_PTR_SHIFT))
+                        rows = jax.lax.broadcasted_iota(
+                            jnp.int32, (H, w), 0)
+                        sel = (rows == count[None, :]) & (
+                            hit & (count < H))[None, :]
+                        R_out[:H] = jnp.where(sel, rec[None, :], R_out[:H])
+                count = count + hit.astype(jnp.int32)
+
+                # 5. advance (ops/march.py step 5, reference init.py:113-116)
+                adv = active & ~term
+                skip_d = (word >> C.WORD_SKIP_SHIFT) & C.WORD_SKIP_MASK
+                cres_safe = jnp.maximum(cres, 1)
+                s_free = jnp.maximum(1, (skip_d - 1) // cres_safe)
+                csf = cres_safe.astype(jnp.float32)
+                ks = []
+                for v_ax, p_ax, cm_ax in ((vx, px, cmx), (vy, py, cmy),
+                                          (vz, pz, cmz)):
+                    denom = v_ax * csf
+                    bound = jnp.where(v_ax > 0, cm_ax + cs, cm_ax)
+                    ok = jnp.abs(denom) > 1e-12
+                    ks.append(jnp.where(
+                        ok, (bound - p_ax) / jnp.where(ok, denom, 1.0),
+                        jnp.inf))
+                t_min = jnp.minimum(jnp.minimum(ks[0], ks[1]), ks[2])
+                k_exit = jnp.floor(t_min).astype(jnp.int32) + 1
+                n_steps = jnp.maximum(jnp.minimum(s_free, k_exit), 1)
+                pmin = jnp.minimum(jnp.minimum(px, py), pz)
+                void_step = 1.0 + jnp.abs(
+                    chunk_radius - jnp.mod(pmin + chunk_radius, cs))
+                step_len = jnp.where(has_chunk,
+                                     (n_steps * cres_safe).astype(jnp.float32),
+                                     void_step)
+                px = jnp.where(adv, px + vx * step_len, px)
+                py = jnp.where(adv, py + vy * step_len, py)
+                pz = jnp.where(adv, pz + vz * step_len, pz)
+                step = jnp.where(adv, step + step_len, step)
+                # frozen lanes (chunk not resident this episode) keep their
+                # liveness — they resume bit-exactly later
+                alive = jnp.where(active, adv & (step < life), alive)
+
+                # write back
+                F_out[_F_POS] = px
+                F_out[_F_POS + 1] = py
+                F_out[_F_POS + 2] = pz
+                F_out[_F_VEL] = vx
+                F_out[_F_VEL + 1] = vy
+                F_out[_F_VEL + 2] = vz
+                F_out[_F_COLOR] = color_r
+                F_out[_F_COLOR + 1] = color_g
+                F_out[_F_COLOR + 2] = color_b
+                F_out[_F_ENERGY] = energy
+                F_out[_F_STEP] = step
+                F_out[_F_LIFE] = life
+                F_out[_F_BOUNCES] = bounces
+                F_out[_F_CMIN] = cmx
+                F_out[_F_CMIN + 1] = cmy
+                F_out[_F_CMIN + 2] = cmz
+                stall = (I_out[_I_FLAGS] >> _STALL_SHIFT) & _STALL_MAX
+                nflags = (alive.astype(jnp.int32)
+                          | (has_box.astype(jnp.int32) << 1)
+                          | (cres << _CRES_SHIFT)
+                          | (stall << _STALL_SHIFT)
+                          | (page << _PAGE_SHIFT))
+                I_out[_I_FLAGS] = nflags
+                I_out[_I_PTR] = ptr
+                I_out[_I_COUNT] = count
+
+                go = jnp.any(alive & ((cres == 0) | (page == loaded)))
+                return it + 1, go
+
+            jax.lax.while_loop(inner_cond, inner_body,
+                               (jnp.zeros((), jnp.int32), jnp.array(True)))
+
+            # age lanes still waiting so the vote eventually serves them
+            flags = I_out[_I_FLAGS]
+            alive = (flags & _FLAG_ALIVE) > 0
+            cres = (flags >> _CRES_SHIFT) & 7
+            page = flags >> _PAGE_SHIFT
+            stall = (flags >> _STALL_SHIFT) & _STALL_MAX
+            waiting = alive & (cres > 0) & (page != loaded)
+            stall = jnp.minimum(stall + waiting.astype(jnp.int32), _STALL_MAX)
+            I_out[_I_FLAGS] = ((flags & ~(_STALL_MAX << _STALL_SHIFT))
+                               | (stall << _STALL_SHIFT))
+            return ep + 1, jnp.any(alive), loaded
+
+        loaded0 = jnp.full((w,), -1, jnp.int32)
+        jax.lax.while_loop(episode_cond, episode_body,
+                           (jnp.zeros((), jnp.int32), jnp.array(True),
+                            loaded0))
+
+    return kernel
+
+
+def march_blockwise(
+    settings: Settings,
+    spec: GridSpec,
+    arrays: SceneArrays,
+    rays: RayBatch,
+    *,
+    key=None,
+    programs_used: Tuple[int, ...] = (M.PROGRAM_PBR,),
+    background: Optional[str] = "sky",
+    record_hits: int = 0,
+    tile: int = 1024,
+    ep_cap: int = 32,
+    inner_cap: int = 24,
+    cleanup: bool = True,
+    interpret: bool = False,
+) -> MarchResult:
+    """Bit-exact drop-in for ``march(mode="while")`` in key-RNG mode.
+
+    Constraints (callers fall back to the XLA march otherwise): f32 rays,
+    key mode (no tape), single PBR program, chunk_size 16, exact=False,
+    no traversed recording, march_steps >= dist_max (the global iteration
+    cap must never truncate a ray mid-flight — true for every reference
+    config since each iteration advances step by >= 1 and life <= dist_max).
+    """
+    if settings.exact:
+        raise ValueError("blockmarch is the f32 fast path (exact=False only)")
+    if tuple(programs_used) != (M.PROGRAM_PBR,):
+        raise ValueError("blockmarch supports the single builtin PBR program")
+    if settings.march_steps < settings.dist_max:
+        raise ValueError("blockmarch requires march_steps >= dist_max")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    n = rays.pos.shape[0]
+    dtype = jnp.float32
+    w = tile
+    npad = _pad_to(max(n, w), w)
+    CX, CY, CZ = spec.chunk_shape
+    czp = _pad_to(CZ, 8)
+    cxyp = _pad_to(CX * CY, 8)
+
+    blocks, coarse = pack_blocks(spec, arrays.cell_word, arrays.chunk_res)
+    mat8 = pack_mat_rows(arrays.material_table)
+    kp = mat8.shape[1]
+    k1, k2 = R.key_data_pair(key)
+    # int32 transport (bit-preserving) — scalar prefetch wants int32
+    scal = jax.lax.bitcast_convert_type(
+        jnp.stack([k1, k2]).astype(jnp.uint32), jnp.int32)
+
+    pos = jnp.zeros((npad, 3), dtype).at[:n].set(rays.pos.astype(dtype))
+    vel = jnp.zeros((npad, 3), dtype).at[:n].set(rays.vel.astype(dtype))
+    life = jnp.zeros((npad,), dtype).at[:n].set(rays.life.astype(dtype))
+    alive0 = life > 0
+    sid = jnp.arange(npad, dtype=jnp.int32)
+
+    # --- initial coherence sort: starting chunk, then direction octant ---
+    cc = jnp.floor_divide(pos, float(settings.chunk_size)).astype(jnp.int32)
+    cc = cc - jnp.array([o // settings.chunk_size for o in spec.origin],
+                        jnp.int32)
+    ccs = jnp.clip(cc, 0, jnp.array([CX - 1, CY - 1, CZ - 1], jnp.int32))
+    ckey = (ccs[:, 0] * CY + ccs[:, 1]) * CZ + ccs[:, 2]
+    octant = ((vel[:, 0] > 0).astype(jnp.int32)
+              | ((vel[:, 1] > 0).astype(jnp.int32) << 1)
+              | ((vel[:, 2] > 0).astype(jnp.int32) << 2))
+    skey = jnp.where(alive0, ckey * 8 + octant, jnp.int32(2 ** 30))
+    srt = jax.lax.sort(
+        [skey, sid, pos[:, 0], pos[:, 1], pos[:, 2],
+         vel[:, 0], vel[:, 1], vel[:, 2], life],
+        dimension=0, is_stable=True, num_keys=1)
+    sid_s = srt[1]
+    pos_s = jnp.stack(srt[2:5], axis=0)
+    vel_s = jnp.stack(srt[5:8], axis=0)
+    life_s = srt[8]
+
+    F = jnp.zeros((F_ROWS, npad), dtype)
+    F = F.at[_F_POS:_F_POS + 3].set(pos_s)
+    F = F.at[_F_VEL:_F_VEL + 3].set(vel_s)
+    F = F.at[_F_LIFE].set(life_s)
+    I = jnp.zeros((I_ROWS, npad), jnp.int32)
+    I = I.at[_I_FLAGS].set((life_s > 0).astype(jnp.int32))
+    H = record_hits
+    hp = _pad_to(H, 8) if H else 8
+    Rrec = jnp.zeros((hp, npad), jnp.int32)
+
+    kernel = _make_kernel(settings, spec, w=w, record_hits=H, ep_cap=ep_cap,
+                          inner_cap=inner_cap, czp=czp, cxyp=cxyp, kp=kp)
+    grid = (npad // w,)
+    state_spec = lambda rows: pl.BlockSpec((rows, w), lambda t, s: (0, t),
+                                           memory_space=pltpu.VMEM)
+    groups = w // 256
+    F2, I2, R2 = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                state_spec(F_ROWS),
+                state_spec(I_ROWS),
+                state_spec(hp),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[state_spec(F_ROWS), state_spec(I_ROWS),
+                       state_spec(hp)],
+            scratch_shapes=[
+                pltpu.VMEM((groups, 64, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((groups,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((F_ROWS, npad), dtype),
+            jax.ShapeDtypeStruct((I_ROWS, npad), jnp.int32),
+            jax.ShapeDtypeStruct((hp, npad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scal, F, I, Rrec, blocks, coarse, mat8)
+
+    # --- final unsort (one multi-operand co-sort keyed by slot id) ---
+    ops = [sid_s] + [F2[i] for i in range(F_ROWS)] + [
+        I2[_I_FLAGS], I2[_I_PTR], I2[_I_COUNT]] + [R2[i] for i in range(hp)]
+    out = jax.lax.sort(ops, dimension=0, is_stable=False, num_keys=1)
+    Fo = out[1:1 + F_ROWS]
+    flags, ptr, count = out[1 + F_ROWS:4 + F_ROWS]
+    recs = out[4 + F_ROWS:]
+
+    pos = jnp.stack(Fo[_F_POS:_F_POS + 3], axis=-1)[:n]
+    vel = jnp.stack(Fo[_F_VEL:_F_VEL + 3], axis=-1)[:n]
+    color = jnp.stack(Fo[_F_COLOR:_F_COLOR + 3], axis=-1)[:n]
+    energy = Fo[_F_ENERGY][:n]
+    step = Fo[_F_STEP][:n]
+    life = Fo[_F_LIFE][:n]
+    bounces = Fo[_F_BOUNCES][:n]
+    cmin = jnp.stack(Fo[_F_CMIN:_F_CMIN + 3], axis=-1)[:n]
+    flags = flags[:n]
+    has_box = (flags & _FLAG_HASBOX) > 0
+    alive = (flags & _FLAG_ALIVE) > 0
+    cres = (flags >> _CRES_SHIFT) & 7
+    cmin = jnp.where(has_box[:, None], cmin, 0.0)
+    cmax = jnp.where(has_box[:, None], cmin + float(settings.chunk_size), 0.0)
+
+    hits = None
+    if H:
+        rec = jnp.stack([r[:n] for r in recs[:H]], axis=1)  # [n, H]
+        hvid = rec & _REC_VID_MASK
+        hflip = (rec >> _REC_FLIP_SHIFT) & 7
+        hrough = (rec >> _REC_ROUGH_SHIFT) & 1
+        hptr = rec >> _REC_PTR_SHIFT
+        hu = jnp.where((hrough > 0)[..., None],
+                       R.hit_draws(key, hptr).astype(dtype), dtype(0.5))
+        hits = HitRecords(vid=hvid, u=hu, flip=hflip, count=count[:n])
+
+    state = _State(
+        pos=pos, vel=vel, color=color, energy=energy, step=step, life=life,
+        bounces=bounces, alive=alive, cmin=cmin, cmax=cmax, cres=cres,
+        ptr=ptr[:n], traversed=jnp.zeros((spec.num_chunks,), bool),
+        it=jnp.zeros((), jnp.int32), hits=hits)
+
+    if cleanup:
+        # finish any ray the static caps under-provisioned for (usually a
+        # zero-trip while_loop) — exactness never depends on the caps
+        _, state = march(
+            settings, spec, arrays, RayBatch(state.pos, state.vel, state.life),
+            key=key, programs_used=programs_used, background=background,
+            mode="while", record_hits=H, resume_state=state, finalize=False)
+    return finalize_background(settings, state, background)

@@ -2,11 +2,12 @@
 
 The march draws per-hit roughness jitter as
 ``jax.random.uniform(jax.random.fold_in(key, ptr), (3,))`` (ops/march.py
-``draws_for_iteration``). The Pallas blockwise kernel cannot call
-jax.random, and the hit-replay backward wants to *regenerate* draws from
-the recorded per-ray progress counter instead of storing them. This module
-reimplements exactly the pieces used, as plain uint32 jnp ops that trace
-both in XLA and inside Pallas kernels:
+``draws_for_iteration``). The Pallas blockwise kernel (ops/blockmarch.py)
+cannot call jax.random — it draws in-kernel via these primitives — and its
+hit tape stores the per-ray progress counter instead of the uniforms, which
+``hit_draws`` regenerates bit-exactly for the hit-replay backward. This
+module reimplements exactly the pieces used, as plain uint32 jnp ops that
+trace both in XLA and inside Pallas kernels:
 
   * ``threefry2x32(k1, k2, x0, x1)`` — the 20-round hash
     (jax._src.prng._threefry2x32_lowering, unrolled form);
@@ -84,20 +85,26 @@ def fold_in_pair(k1, k2, data):
     return threefry2x32(k1, k2, jnp.zeros_like(d), d)
 
 
+def uniform3_parts(k1, k2):
+    """The three uniforms of ``uniform3`` as separate arrays (the layout the
+    Pallas kernel wants: per-lane vectors, no trailing axis)."""
+    zero = jnp.zeros_like(k1)
+    outs = []
+    for i in range(3):
+        y0, y1 = threefry2x32(k1, k2, zero, jnp.full_like(k1, i))
+        fb = ((y0 ^ y1) >> np.uint32(9)) | np.uint32(0x3F800000)
+        outs.append(jax.lax.bitcast_convert_type(fb, jnp.float32)
+                    - jnp.float32(1.0))
+    return tuple(outs)
+
+
 def uniform3(k1, k2):
     """jax.random.uniform(key, (3,), float32) for raw pair arrays.
 
     k1/k2 shaped [...]; returns u [..., 3] in [0, 1), bit-exact vs
     jax.random.uniform(fold-derived key, (3,)).
     """
-    zero = jnp.zeros_like(k1)
-    outs = []
-    for i in range(3):
-        y0, y1 = threefry2x32(k1, k2, zero, jnp.full_like(k1, i))
-        outs.append(y0 ^ y1)
-    bits = jnp.stack(outs, axis=-1)
-    fb = (bits >> np.uint32(9)) | np.uint32(0x3F800000)
-    return jax.lax.bitcast_convert_type(fb, jnp.float32) - jnp.float32(1.0)
+    return jnp.stack(uniform3_parts(k1, k2), axis=-1)
 
 
 def hit_draws(key, ptr):

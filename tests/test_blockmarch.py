@@ -1,0 +1,125 @@
+"""Pallas blockwise march (ops/blockmarch.py) vs the XLA march: bit-exact.
+
+Runs the kernel in interpreter mode on CPU (the same arithmetic the Mosaic
+compiler lowers on TPU; TPU-vs-XLA parity is additionally checked by
+tools/bench_blockmarch.py on hardware). Both paths run float32 — the kernel
+is the f32 fast path; float64 golden exactness stays with the XLA march
+(tests/test_golden.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from python_raytracer_tpu.models.default import build_default_scene, default_settings
+from python_raytracer_tpu.ops.blockmarch import march_blockwise, pack_blocks
+from python_raytracer_tpu.ops.camera import generate_rays, pixel_grid
+from python_raytracer_tpu.ops.march import RayBatch, march
+from python_raytracer_tpu.scene.compile import compile_scene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    st = default_settings().replace(exact=False, static=False)
+    sc = build_default_scene(st)
+    cam_pos = np.array(sc.player.cam_pos, np.float32)
+    cam_rot = np.array(sc.player.cam_rot, np.float32)
+    cs = compile_scene(sc, cam_pos=cam_pos)
+    return st, cs, cam_pos, cam_rot
+
+
+def _rays(st, cam_pos, cam_rot, n, key):
+    dirs, detail = pixel_grid(st, jnp.float32)
+    reps = -(-n // dirs.shape[0])
+    dirs = jnp.tile(dirs, (reps, 1))[:n]
+    detail = jnp.tile(detail, (reps,))[:n]
+    u_dof = jax.random.uniform(key, (n, 2), jnp.float32)
+    r = generate_rays(st, jnp.asarray(cam_pos, jnp.float32),
+                      jnp.asarray(cam_rot, jnp.float32), dirs, detail, u_dof)
+    return RayBatch(r.pos.astype(jnp.float32), r.vel.astype(jnp.float32),
+                    r.life.astype(jnp.float32))
+
+
+def _assert_same(ref, out, hits=True):
+    assert bool(jnp.all(ref.color == out.color))
+    assert bool(jnp.all(ref.energy == out.energy))
+    assert bool(jnp.all(ref.step == out.step))
+    assert bool(jnp.all(ref.bounces == out.bounces))
+    if hits:
+        assert bool(jnp.all(ref.hits.vid == out.hits.vid))
+        assert bool(jnp.all(ref.hits.u == out.hits.u))
+        assert bool(jnp.all(ref.hits.flip == out.hits.flip))
+        assert bool(jnp.all(ref.hits.count == out.hits.count))
+
+
+def test_blockmarch_bitexact_with_hits(scene):
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(3)
+    rays = _rays(st, cam_pos, cam_rot, 2048, key)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used, record_hits=16)
+    out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                          background="sky", programs_used=cs.programs_used,
+                          record_hits=16, interpret=True)
+    _assert_same(ref, out)
+
+
+def test_blockmarch_no_hits_nonaligned_n(scene):
+    """n not a multiple of the tile width exercises the padding path."""
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(11)
+    rays = _rays(st, cam_pos, cam_rot, 1500, key)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used)
+    out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                          background="sky", programs_used=cs.programs_used,
+                          interpret=True)
+    _assert_same(ref, out, hits=False)
+
+
+def test_blockmarch_cleanup_covers_small_caps(scene):
+    """Tiny episode/iteration caps leave stragglers; the XLA cleanup pass
+    must finish them bit-exactly — exactness never depends on the caps."""
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(5)
+    rays = _rays(st, cam_pos, cam_rot, 1024, key)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used, record_hits=16)
+    out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                          background="sky", programs_used=cs.programs_used,
+                          record_hits=16, ep_cap=2, inner_cap=3,
+                          interpret=True)
+    _assert_same(ref, out)
+
+
+def test_blockmarch_rejects_unsupported(scene):
+    st, cs, cam_pos, cam_rot = scene
+    rays = _rays(st, cam_pos, cam_rot, 256, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        march_blockwise(st.replace(exact=True), cs.spec, cs.arrays, rays,
+                        interpret=True)
+    with pytest.raises(ValueError):
+        march_blockwise(st, cs.spec, cs.arrays, rays,
+                        programs_used=(0, 1), interpret=True)
+
+
+def test_pack_blocks_roundtrip(scene):
+    """blocks[c, lo, hi] / blocks[c, 32+lo, hi] reconstruct every cell word."""
+    st, cs, cam_pos, cam_rot = scene
+    spec = cs.spec
+    blocks, coarse = pack_blocks(spec, cs.arrays.cell_word, cs.arrays.chunk_res)
+    cw = np.asarray(cs.arrays.cell_word).reshape(spec.shape)
+    b = np.asarray(blocks)
+    rng = np.random.default_rng(0)
+    CX, CY, CZ = spec.chunk_shape
+    for _ in range(200):
+        x, y, z = (int(rng.integers(0, s)) for s in spec.shape)
+        c = (x % 16 * 16 + y % 16) * 16 + z % 16
+        page = ((x // 16) * CY + y // 16) * CZ + z // 16
+        lo, hi = c & 31, c >> 5
+        word = int(b[page, lo, hi]) | (int(b[page, 32 + lo, hi]) << 16)
+        assert word == int(cw[x, y, z])
+        cword = int(np.asarray(coarse)[z // 16, (x // 16) * CY + y // 16])
+        assert cword >> 3 == page
+        assert cword & 7 == int(np.asarray(cs.arrays.chunk_res)[page])
