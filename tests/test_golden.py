@@ -57,11 +57,37 @@ def test_stock_tape_exact(golden_stock):
 
 
 def test_march_stats_match_reference(golden_stock):
-    """Mean steps/bounces per ray in the stock render should match the
-    reference's measured profile (SURVEY.md §6: ~28.7 steps, ~2.60 bounces)."""
+    """The BUILT marcher's own per-ray step/bounce counters must equal the
+    reference's recorded profile ray-for-ray (not just the golden's own
+    recording — this drives ops/march.py and checks its outputs)."""
     g = golden_stock
-    assert 20 < g["steps"].mean() < 40
-    assert 2.0 < g["bounces"].mean() < 3.2
+    st = default_settings()
+    scene = build_default_scene(st)
+    cam_pos = np.array(g["cam_pos"])
+    cs = compile_scene(scene, cam_pos=cam_pos)
+    from python_raytracer_tpu.ops.march import march
+    from python_raytracer_tpu.ops.render import _prepare_frame_rays
+
+    rays, march_kw, active, _ = _prepare_frame_rays(
+        st, cam_pos, np.array(g["cam_rot"]), None, g["tape"], None,
+        jnp.float64)
+    res = march(st, cs.spec, cs.arrays, rays, programs_used=cs.programs_used,
+                background="sky", mode="while", **march_kw)
+    steps = np.asarray(res.step).reshape(-1)[np.asarray(active).reshape(-1)]
+    bounces = np.asarray(res.bounces).reshape(-1)[np.asarray(active).reshape(-1)]
+    np.testing.assert_array_equal(bounces, g["bounces"].reshape(-1))
+    # Step distance is exact up to the final multi-cell skip's overshoot
+    # (the built marcher jumps s lattice steps at once; the reference walks
+    # them singly and stops the moment step >= life — ops/march.py step 5:
+    # "only the unobservable final overshoot position may differ").
+    overshoot = steps - g["steps"].reshape(-1)
+    # (tiny negative = f64 accumulation-order noise between single steps
+    # and batched skips summing the same distance)
+    assert overshoot.min() >= -1e-9, "marcher took fewer steps than the reference"
+    assert overshoot.max() <= 16, "overshoot beyond one chunk-size skip"
+    # and the profile itself matches the survey's measurement (SURVEY.md §6)
+    assert 20 < steps.mean() < 40
+    assert 2.0 < bounces.mean() < 3.2
 
 
 def test_multisample_tape_exact(golden_samples4):
