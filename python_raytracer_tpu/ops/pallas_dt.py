@@ -80,7 +80,7 @@ def cheb_distance_pallas(occupied, cap: int = 15, tile: int = 16, interpret: boo
         functools.partial(_dt_kernel, cap=cap, tile=tile),
         out_shape=jax.ShapeDtypeStruct((X, Y, Z), jnp.int32),
         grid=(X // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tile, Y, Z), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

@@ -248,7 +248,7 @@ def bake_chunks(spec: GridSpec, settings: Settings, world_ids, cam_pos, traverse
     # void skip, init.py:114).
     active_cell = jnp.repeat(jnp.repeat(jnp.repeat(chunk_res, cs, 0), cs, 1), cs, 2)
     vis_id = jnp.where(active_cell > 0, baked, 0)
-    skip = _cheb_distance(vis_id > 0, SKIP_CAP)
+    skip = _skip_field(vis_id > 0)
     word = vis_id | (active_cell << WORD_RES_SHIFT) | (skip << WORD_SKIP_SHIFT)
     if mat_bits is not None:
         # Per-material discrete bits (IOR class, roughness flag) folded into
@@ -279,6 +279,19 @@ def bake_chunks(spec: GridSpec, settings: Settings, world_ids, cam_pos, traverse
                 bit = WORD_FACE_SHIFT + axis * 2 + sign_idx
                 word = word | (flip.astype(jnp.int32) << bit)
     return baked.reshape(-1), chunk_res.reshape(-1), word.reshape(-1)
+
+
+def _skip_field(occupied):
+    """Chebyshev empty-space distance, capped — single-pass Pallas kernel on
+    TPU (ops/pallas_dt.py: one HBM read + write vs the XLA relaxation's ~45
+    grid passes), XLA reduce_window fallback elsewhere. Equality asserted in
+    tests/test_pallas_dt.py (interpret) and tools/tpu_checks.py (hardware).
+    """
+    if jax.default_backend() == "tpu" and occupied.shape[0] % 16 == 0:
+        from python_raytracer_tpu.ops.pallas_dt import cheb_distance_pallas
+
+        return cheb_distance_pallas(occupied, cap=SKIP_CAP, tile=16)
+    return _cheb_distance(occupied, SKIP_CAP)
 
 
 def _cheb_distance(occupied, cap: int):

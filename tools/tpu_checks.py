@@ -1,0 +1,86 @@
+"""Hardware equality checks for the Pallas kernels (run on the TPU chip).
+
+Interpret-mode tests (tests/test_pallas_dt.py, tests/test_blockmarch.py)
+prove the kernel MATH; this tool proves the Mosaic-compiled kernels agree
+with the XLA implementations on the real chip. Exit code 0 = all equal.
+
+Usage: python3 tools/tpu_checks.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    failures = 0
+
+    # --- distance transform: Pallas vs XLA on the default scene's grid ---
+    from python_raytracer_tpu.models.default import build_default_scene, default_settings
+    from python_raytracer_tpu.ops.pallas_dt import cheb_distance_pallas
+    from python_raytracer_tpu.scene.compile import SKIP_CAP, _cheb_distance, compile_scene
+
+    st = default_settings().replace(exact=False, static=False)
+    sc = build_default_scene(st)
+    cam = np.array(sc.player.cam_pos, np.float32)
+    cs = compile_scene(sc, cam_pos=cam)
+    occ = (cs.arrays.world_ids > 0)
+    t0 = time.time()
+    got = np.asarray(cheb_distance_pallas(occ, cap=SKIP_CAP, tile=16))
+    ref = np.asarray(jax.jit(lambda o: _cheb_distance(o, SKIP_CAP))(occ))
+    eq = (got == ref).all()
+    print(f"pallas_dt vs XLA on {occ.shape}: equal={bool(eq)} "
+          f"({time.time()-t0:.1f}s)", flush=True)
+    failures += 0 if eq else 1
+
+    # --- blockwise march vs XLA march (f32, key mode, with hit tape) ---
+    from python_raytracer_tpu.ops.blockmarch import march_blockwise
+    from python_raytracer_tpu.ops.camera import generate_rays, pixel_grid
+    from python_raytracer_tpu.ops.march import RayBatch, march
+
+    n = int(os.environ.get("CHECK_RAYS", "12288"))
+    dirs, detail = pixel_grid(st, jnp.float32)
+    reps = -(-n // dirs.shape[0])
+    dirs = jnp.tile(dirs, (reps, 1))[:n]
+    detail = jnp.tile(detail, (reps,))[:n]
+    key = jax.random.PRNGKey(0)
+    u_dof = jax.random.uniform(key, (n, 2), jnp.float32)
+    rays = generate_rays(st, jnp.asarray(cam), jnp.asarray(
+        np.array(sc.player.cam_rot, np.float32)), dirs, detail, u_dof)
+    rays = RayBatch(*(x.astype(jnp.float32) for x in rays))
+
+    t0 = time.time()
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used, record_hits=16)
+    out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                          background="sky", programs_used=cs.programs_used,
+                          record_hits=16)
+    checks = {
+        "step": (np.asarray(ref.step) == np.asarray(out.step)).mean(),
+        "bounces": (np.asarray(ref.bounces) == np.asarray(out.bounces)).mean(),
+        "vid": (np.asarray(ref.hits.vid) == np.asarray(out.hits.vid)).mean(),
+        "count": (np.asarray(ref.hits.count) == np.asarray(out.hits.count)).mean(),
+    }
+    # color involves pow() — transcendental lowering may differ by ULPs
+    # between Mosaic and XLA on hardware; trajectories must agree exactly.
+    cdiff = np.abs(np.asarray(ref.color) - np.asarray(out.color)).max()
+    print(f"blockmarch vs XLA march (n={n}): "
+          + " ".join(f"{k}={v:.6f}" for k, v in checks.items())
+          + f" color_maxdiff={cdiff:.3e} ({time.time()-t0:.1f}s)", flush=True)
+    if not all(v == 1.0 for v in checks.values()) or cdiff > 0.05:
+        failures += 1
+
+    print("OK" if failures == 0 else f"FAILURES: {failures}", flush=True)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
