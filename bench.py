@@ -200,7 +200,8 @@ def main():
                 res = march(st, cs.spec, arrays, rays, key=key, background="sky",
                             mode="while", programs_used=cs.programs_used,
                             unroll=unroll)
-            return jnp.mean(res.color / 255.0)
+            return jnp.mean(res.color / 255.0), (jnp.mean(res.step),
+                                                 jnp.mean(res.bounces))
 
         fn = jax.jit(forward)
     else:
@@ -208,13 +209,14 @@ def main():
 
         renderer = make_diff_renderer(st, cs.spec, max_hits=16,
                                       programs_used=cs.programs_used,
-                                      forward="ladder" if ladder else "while")
+                                      forward="ladder" if ladder else "while",
+                                      with_stats=True)
 
         def forward(table, rays):
-            color, _ = renderer(table, cs.arrays, rays, key)
-            return jnp.mean(color / 255.0)
+            color, _, msteps, mbounces = renderer(table, cs.arrays, rays, key)
+            return jnp.mean(color / 255.0), (msteps, mbounces)
 
-        fn = jax.jit(jax.value_and_grad(forward))
+        fn = jax.jit(jax.value_and_grad(forward, has_aux=True))
 
     def fence(out):
         # block_until_ready is a no-op on axon (see _device_health_ms):
@@ -249,12 +251,13 @@ def main():
         # device executions are stream-serialized: one fence waits for all
         fence(out)
         dt = max(1e-9, (time.time() - t0) - rtt / 1e3) / k
-        return dt, rtt
+        return dt, rtt, out
 
     # First a 1-iteration measurement so the watchdog already holds a real
     # number, then the full (more accurate) multi-iteration run.
+    out = None
     for k in (1, iters):
-        dt, rtt = measure(k)
+        dt, rtt, out = measure(k)
         mrays = n_rays / dt / 1e6
         if mrays > _BEST["value"]:
             _BEST.update(
@@ -262,6 +265,17 @@ def main():
                 detail={**detail, "phase": "measured", "iters": k,
                         "sec_per_iter": round(dt, 4), "rtt_ms": round(rtt, 1)},
             )
+
+    # march cost telemetry (SURVEY.md §5.1: the per-ray step/bounce counters
+    # the reference carries on the ray record, init.py:55-57)
+    aux = None
+    if not compact:
+        aux = out[1] if fwd_only else out[0][1]
+    if aux is not None:
+        spr = float(aux[0])
+        _BEST["detail"]["steps_per_ray"] = round(spr, 2)
+        _BEST["detail"]["bounces_per_ray"] = round(float(aux[1]), 3)
+        _BEST["detail"]["msteps_per_s"] = round(_BEST["value"] * spr, 1)
 
     _DONE.set()
     _emit(_BEST)

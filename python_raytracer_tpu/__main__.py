@@ -16,13 +16,23 @@ def main():
     ap.add_argument("--headless", type=int, metavar="FRAMES", default=0,
                     help="render N frames without a window, save the last to PNG")
     ap.add_argument("--out", default="frame.png")
+    ap.add_argument("--metrics", type=int, metavar="EVERY", default=0,
+                    help="log a JSON-lines metric record (march stats + "
+                         "per-phase ms) every EVERY frames")
+    ap.add_argument("--metrics-file", default=None,
+                    help="metric log path (default stdout)")
     args = ap.parse_args()
 
     from python_raytracer_tpu.modapi import load_mod
     from python_raytracer_tpu.runtime.engine import Engine
 
     scene = load_mod(args.mod)
-    engine = Engine(scene)
+    metrics = None
+    if args.metrics:
+        from python_raytracer_tpu.utils.metrics import MetricLog
+
+        metrics = MetricLog(args.metrics_file)
+    engine = Engine(scene, metrics=metrics, metrics_every=args.metrics)
 
     if args.headless:
         import numpy as np

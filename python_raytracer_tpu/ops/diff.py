@@ -115,10 +115,13 @@ def make_diff_renderer(
     programs_used=(0,),
     forward: str = "while",
     ladder_schedule=((20, 1), (5, 2), (11, 8)),
+    with_stats: bool = False,
 ):
     """Build ``render(table, arrays, rays, key) -> (color [N,3], energy [N])``
     differentiable w.r.t. ``table`` with the while-march forward + hit-replay
     backward. ``arrays.material_table`` is ignored in favor of ``table``.
+    ``with_stats`` appends (mean_steps, mean_bounces) device scalars to the
+    output (zero cotangent; observability only — utils/metrics.py).
 
     ``forward="ladder"`` uses the on-device width-ladder march
     (ops/compact.py march_ladder): bit-identical output, fewer full-width
@@ -146,7 +149,10 @@ def make_diff_renderer(
                 settings, spec, arr, rays, key=key, background=background,
                 mode="while", record_hits=max_hits, programs_used=programs_used,
             )
-        return (res.color, res.energy), (res.hits, rays.vel, arrays.program)
+        out = (res.color, res.energy)
+        if with_stats:
+            out = out + (jnp.mean(res.step), jnp.mean(res.bounces))
+        return out, (res.hits, rays.vel, arrays.program)
 
     @jax.custom_vjp
     def render(table, arrays, rays, key):
@@ -163,7 +169,7 @@ def make_diff_renderer(
             lambda t: _replay(t, settings, hits, v0, background, programs_used, program_ids),
             table,
         )
-        (dtable,) = vjp(g)
+        (dtable,) = vjp(g[:2] if with_stats else g)
         return dtable, None, None, None
 
     render.defvjp(render_fwd, render_bwd)

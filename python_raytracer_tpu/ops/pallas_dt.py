@@ -72,20 +72,30 @@ def cheb_distance_pallas(occupied, cap: int = 15, tile: int = 16, interpret: boo
     X, Y, Z = occupied.shape
     assert X % tile == 0, (X, tile)
     occ = occupied.astype(jnp.int32)
-    # Empty halo on both X edges so every tile sees a full window.
-    occ = jnp.pad(occ, ((cap, cap), (0, 0), (0, 0)))
+    # Empty halo on both X edges so every tile sees a full window; Y/Z
+    # padded to the (8, 128) memref tiling Mosaic requires for HBM DMA
+    # slices (empty padding cannot change interior Chebyshev distances —
+    # it contains no occupied cells).
+    Yp = -(-Y // 8) * 8
+    Zp = -(-Z // 128) * 128
+    occ = jnp.pad(occ, ((cap, cap), (0, Yp - Y), (0, Zp - Z)))
 
     win = tile + 2 * cap
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_dt_kernel, cap=cap, tile=tile),
-        out_shape=jax.ShapeDtypeStruct((X, Y, Z), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((X, Yp, Zp), jnp.int32),
         grid=(X // tile,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((tile, Y, Z), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((tile, Yp, Zp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((win, Y, Z), jnp.int32),
+            pltpu.VMEM((win, Yp, Zp), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
+        # the relaxation rounds keep 2-3 window-sized temporaries live;
+        # the default 16M scoped-vmem limit is too small for real grids
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
     )(occ)
+    return out[:, :Y, :Z]

@@ -145,12 +145,15 @@ def render_frame(
     record_traversed: bool = False,
     dtype=jnp.float32,
     programs_used=(0,),
+    with_stats: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render one frame.
 
     Returns (image [H, W, 4] float RGBA in 0..255, traversed bool
     [CX, CY, CZ]). In exact mode the image holds the reference's integer
-    values (as floats).
+    values (as floats). ``with_stats`` appends (mean_steps, mean_bounces)
+    device scalars — the reference's per-ray cost telemetry (init.py:55-57)
+    aggregated on device for the Engine's metrics (utils/metrics.py).
     """
     rays, march_kw, active, samples_px = _prepare_frame_rays(
         settings, cam_pos, cam_rot, lens, tape, key, dtype
@@ -162,4 +165,10 @@ def render_frame(
         **march_kw,
     )
     image = _resolve_samples(settings, res, active, samples_px, dtype)
-    return image, res.traversed.reshape(spec.chunk_shape)
+    out = (image, res.traversed.reshape(spec.chunk_shape))
+    if with_stats:
+        act = active.reshape(-1)
+        n_act = jnp.maximum(1, jnp.sum(act))
+        out = out + ((jnp.sum(jnp.where(act, res.step, 0)) / n_act,
+                      jnp.sum(jnp.where(act, res.bounces, 0)) / n_act),)
+    return out

@@ -41,6 +41,7 @@ from python_raytracer_tpu.scene.compile import (
     compile_scene,
 )
 from python_raytracer_tpu.scene.scene import Scene
+from python_raytracer_tpu.utils.metrics import MetricLog, trace_scope
 from python_raytracer_tpu.utils.hostmath import (
     euler_to_quat_h,
     quat_vec_forward_h,
@@ -58,10 +59,19 @@ class Engine:
 
     def __init__(self, scene: Scene, margin_chunks: int = 2, dtype=jnp.float32,
                  key: Optional[jax.Array] = None, pipeline: Optional[bool] = None,
-                 compact: bool = False):
+                 compact: bool = False, metrics: Optional[MetricLog] = None,
+                 metrics_every: int = 0):
         self.scene = scene
         self.settings: Settings = scene.settings
         st = self.settings
+        # Observability (SURVEY.md §5.1/5.5, replacing the reference's FPS
+        # HUD init.py:256-259): per-phase wall times every frame
+        # (self.last_phase_ms), march stats + a JSON-lines metric record
+        # every ``metrics_every`` frames when a MetricLog is attached.
+        self.metrics = metrics
+        self.metrics_every = metrics_every if metrics is not None else 0
+        self.last_phase_ms: dict = {}
+        self.last_stats: Optional[dict] = None
 
         cam0 = scene.player.cam_pos if scene.player else (0.0, 0.0, 0.0)
         self.compiled: CompiledScene = compile_scene(
@@ -109,6 +119,7 @@ class Engine:
                     background=self.compiled.background or "sky",
                     mode="while", record_traversed=True, dtype=dtype,
                     programs_used=self.compiled.programs_used,
+                    with_stats=self.metrics_every > 0,
                 )
             )
         if st.culling and scene.player is not None:
@@ -210,37 +221,70 @@ class Engine:
         # Render + composite + post. In pipeline mode the device works on
         # frame N while the host receives N-1 (JAX async dispatch supplies
         # the overlap; block only on the *previous* frame's outputs).
-        self._key, sub = jax.random.split(self._key)
-        frame, traversed = self._render(
-            self.compiled.arrays,
-            jnp.asarray(self.cam_pos, self.dtype),
-            jnp.asarray(self.cam_rot, self.dtype),
-            self.lens, sub,
-        )
-        self._traversed = traversed
-        self.canvas = post_ops.alpha_over(self.canvas, frame)
-        image_dev, iris_target = post_ops.post_stack(self.canvas, st, self.iris)
-        if self.pipeline:
-            out = self._pending
-            self._pending = (image_dev, iris_target)
-            if out is None:
-                image, iris_target_host = image_dev, iris_target  # first frame
-            else:
-                image, iris_target_host = out
-        else:
-            image, iris_target_host = image_dev, iris_target
-        if st.iris and st.iris_time:
-            self.iris_target = float(iris_target_host)
+        phase_t = {}
+        t0 = _time.perf_counter()
+        with trace_scope("engine/render"):
+            self._key, sub = jax.random.split(self._key)
+            out_r = self._render(
+                self.compiled.arrays,
+                jnp.asarray(self.cam_pos, self.dtype),
+                jnp.asarray(self.cam_rot, self.dtype),
+                self.lens, sub,
+            )
+            frame, traversed = out_r[0], out_r[1]
+            stats_dev = out_r[2] if len(out_r) > 2 else None
+            self._traversed = traversed
+        phase_t["render"] = _time.perf_counter() - t0
 
-        self.chunk_update(dt)
+        t0 = _time.perf_counter()
+        with trace_scope("engine/post"):
+            self.canvas = post_ops.alpha_over(self.canvas, frame)
+            image_dev, iris_target = post_ops.post_stack(self.canvas, st, self.iris)
+            if self.pipeline:
+                out = self._pending
+                self._pending = (image_dev, iris_target)
+                if out is None:
+                    image, iris_target_host = image_dev, iris_target  # first frame
+                else:
+                    image, iris_target_host = out
+            else:
+                image, iris_target_host = image_dev, iris_target
+            if st.iris and st.iris_time:
+                self.iris_target = float(iris_target_host)
+        phase_t["post"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        with trace_scope("engine/chunk"):
+            self.chunk_update(dt)
+        phase_t["chunk"] = _time.perf_counter() - t0
 
         # Object updates: visibility, animation, physics, custom function
         # (init.py:469-470)
-        for obj in list(scene.objects.values()):
-            obj.update(self.cam_pos, self.ticks_ms)
+        t0 = _time.perf_counter()
+        with trace_scope("engine/objects"):
+            for obj in list(scene.objects.values()):
+                obj.update(self.cam_pos, self.ticks_ms)
+        phase_t["objects"] = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        image = np.asarray(image)  # host sync point (display edge)
+        phase_t["readback"] = _time.perf_counter() - t0
+        self.last_phase_ms = {k: round(v * 1e3, 3) for k, v in phase_t.items()}
+
+        if self.metrics_every and self.frame_index % self.metrics_every == 0:
+            n_rays = st.width * st.height * st.samples
+            total_s = max(1e-9, sum(phase_t.values()))
+            self.last_stats = {
+                "frame": self.frame_index,
+                "mean_steps": float(stats_dev[0]) if stats_dev else None,
+                "mean_bounces": float(stats_dev[1]) if stats_dev else None,
+                "mrays_per_s": round(n_rays / total_s / 1e6, 4),
+                **{f"{k}_ms": v for k, v in self.last_phase_ms.items()},
+            }
+            self.metrics.log("frame", **self.last_stats)
 
         self.frame_index += 1
-        return np.asarray(image)
+        return image
 
     def run(self, frames: int, dt: Optional[float] = None) -> np.ndarray:
         """Headless run of N frames; returns the last displayed image."""

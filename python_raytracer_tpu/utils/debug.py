@@ -7,29 +7,22 @@ functional model excludes them entirely. What replaces "sanitizers" here:
 * ``enable_nan_checks()`` — jax_debug_nans: every jitted computation re-runs
   de-optimized when it produces a NaN and raises at the offending primitive
   (catches e.g. invalid material-table values during training).
-* ``enable_deterministic()`` — bitwise-reproducible reductions across runs
-  (XLA deterministic-ops flag), for debugging psum'd gradients.
 * ``check_no_aliasing(tree_a, tree_b)`` — asserts two pytrees share no
-  buffers (donation/aliasing mistakes surface as spooky mutation).
+  buffers (donation/aliasing mistakes surface as spooky mutation); used by
+  the checkpoint-restore test (tests/test_runtime_aux.py).
+
+``enable_nan_checks`` is exposed as ``--nan-checks`` on tools/train_demo.py.
+(TPU reductions are already deterministic for fixed shapes/topologies, so
+no determinism toggle is needed here.)
 """
 
 from __future__ import annotations
-
-import os
 
 import jax
 
 
 def enable_nan_checks(enable: bool = True) -> None:
     jax.config.update("jax_debug_nans", enable)
-
-
-def enable_deterministic() -> None:
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "") + " --xla_gpu_deterministic_ops=true"
-    )
-    # TPU reductions are deterministic for fixed shapes/topologies by default;
-    # the flag matters for CPU/GPU test parity.
 
 
 def check_no_aliasing(tree_a, tree_b) -> None:

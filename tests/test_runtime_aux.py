@@ -58,6 +58,12 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(engine2.compiled.arrays.material_table), table_before
     )
+    # restored buffers must be fresh copies, not aliases of engine 1's
+    # (donation/aliasing sanitizer, utils/debug.py)
+    from python_raytracer_tpu.utils.debug import check_no_aliasing
+
+    check_no_aliasing(engine.compiled.arrays.material_table,
+                      engine2.compiled.arrays.material_table)
     assert engine2.scene.player.pos == player_pos
     assert engine2.frame_index == engine.frame_index
     np.testing.assert_array_equal(np.asarray(engine2.canvas), np.asarray(engine.canvas))

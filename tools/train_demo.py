@@ -29,12 +29,19 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--width", type=int, default=64)
     ap.add_argument("--height", type=int, default=48)
+    ap.add_argument("--nan-checks", action="store_true",
+                    help="jax_debug_nans: raise at the first NaN-producing "
+                         "primitive (utils/debug.py)")
     args = ap.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.nan_checks:
+        from python_raytracer_tpu.utils.debug import enable_nan_checks
+
+        enable_nan_checks()
     import jax.numpy as jnp
     import optax
 
