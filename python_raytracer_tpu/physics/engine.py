@@ -183,12 +183,17 @@ def update_physics(obj, scene):
             pass_s[pass_o] = s_sol[pass_o] > rolls_s
             contact = pass_o & pass_s
             if contact.any():
-                friction += float(
-                    (other_props[..., 1] * self_props[..., 1])[contact].sum()
-                ) * settings.friction
-                elasticity += float(
-                    (other_props[..., 2] * self_props[..., 2])[contact].sum()
-                ) * settings.friction
+                # Sequential accumulation in the reference's x,y,z voxel
+                # order with each term scaled before adding
+                # (data.py:540-541) — a vectorized .sum() uses pairwise
+                # summation whose rounding diverges from the reference by
+                # ULPs, which breaks bit-exact physics trajectories.
+                m = contact.ravel()
+                ff = (other_props[..., 1] * self_props[..., 1]).ravel()[m]
+                ee = (other_props[..., 2] * self_props[..., 2]).ravel()[m]
+                for a, b in zip(ff, ee):
+                    friction += float(a) * settings.friction
+                    elasticity += float(b) * settings.friction
                 blocked = True
 
         # Move at most one unit, or dump this direction's velocity when

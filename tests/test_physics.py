@@ -5,7 +5,9 @@ the reference's physics on the default scene — gravity, slab collision
 blocking, friction/elasticity accumulation, velocity transfer, terminal/min
 velocity handling (reference data.py:495-560). All default-scene materials
 have solidity 1, so the rolls are deterministic and the trajectories must
-match to float tolerance (summation-order differences only).
+match BIT-EXACTLY (friction/elasticity accumulate in the reference's exact
+voxel order — physics/engine.py), which is what lets the motion+physics
+multi-frame golden (tests/test_motion_frames.py) compare images exactly.
 """
 
 import os
@@ -34,7 +36,7 @@ def test_default_scene_rollout_matches_reference():
         for i, oid in enumerate(order):
             got[t, i, 0] = scene.objects[oid].pos
             got[t, i, 1] = scene.objects[oid].vel
-    np.testing.assert_allclose(got, ref, atol=1e-9)
+    np.testing.assert_array_equal(got, ref)
 
 
 def test_velocity_transfer_between_objects():
