@@ -178,7 +178,7 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
     H = record_hits
 
     def kernel(scal_ref, F_in, I_in, R_in, blocks_hbm, coarse_ref, mat_ref,
-               F_out, I_out, R_out, bufs, sems):
+               F_out, I_out, R_out, bufs, sems, picked):
         F_out[:] = F_in[:]
         I_out[:] = I_in[:]
         if H:
@@ -299,16 +299,17 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 cell = jnp.clip((lx * csi + ly) * csi + lz, 0, 4095)
                 lo = cell & 31
                 hi = cell >> 5
-                lo_parts, hi_parts = [], []
+                # per-group block lookup; results land in a scratch row
+                # (Mosaic has no 1-D vector concatenate)
                 for g in range(groups):
                     sl = slice(g * 256, (g + 1) * 256)
                     oh = _onehot_T(hi[sl], 128, 256)
                     rows_T = jnp.dot(bufs[g], oh,
                                      preferred_element_type=jnp.float32)
-                    lo_parts.append(_sublane_pick(rows_T, lo[sl], 64, 256))
-                    hi_parts.append(_sublane_pick(rows_T, lo[sl] + 32, 64, 256))
-                lo16 = jnp.concatenate(lo_parts)
-                hi16 = jnp.concatenate(hi_parts)
+                    picked[0, sl] = _sublane_pick(rows_T, lo[sl], 64, 256)
+                    picked[1, sl] = _sublane_pick(rows_T, lo[sl] + 32, 64, 256)
+                lo16 = picked[0, :]
+                hi16 = picked[1, :]
                 word = lo16.astype(jnp.int32) | (hi16.astype(jnp.int32) << 16)
                 has_chunk = cres > 0
                 word = jnp.where(active & has_chunk & in_content, word, 0)
@@ -447,8 +448,9 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 pz = jnp.where(adv, pz + vz * step_len, pz)
                 step = jnp.where(adv, step + step_len, step)
                 # frozen lanes (chunk not resident this episode) keep their
-                # liveness — they resume bit-exactly later
-                alive = jnp.where(active, adv & (step < life), alive)
+                # liveness — they resume bit-exactly later. Pure logical ops:
+                # Mosaic cannot lower a select on bool vectors (i8->i1 trunci).
+                alive = (active & adv & (step < life)) | (~active & alive)
 
                 # write back
                 F_out[_F_POS] = px
@@ -611,6 +613,7 @@ def march_blockwise(
             scratch_shapes=[
                 pltpu.VMEM((groups, 64, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((groups,)),
+                pltpu.VMEM((2, w), jnp.float32),
             ],
         ),
         out_shape=[

@@ -234,6 +234,7 @@ class Engine:
             frame, traversed = out_r[0], out_r[1]
             stats_dev = out_r[2] if len(out_r) > 2 else None
             self._traversed = traversed
+            self.last_frame = frame  # raw pre-post frame (goldens/debug)
         phase_t["render"] = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()

@@ -170,7 +170,12 @@ def build_world_ids(scene: Scene, spec: GridSpec, registry: MaterialRegistry,
                 continue
         dense = obj.sprite.to_dense(registry, None, obj.rot)  # active frame
         lo = [m - o for m, o in zip(obj.mins, spec.origin)]
-        hi = [l + s for l, s in zip(lo, dense.shape)]
+        # Content spans [mins, maxs) — at fractional positions the reference
+        # box shrinks to 2*size-1 cells (mins=ceil-size, maxs=floor+size,
+        # data.py:485-486) and the voxel gather drops the far shell
+        # (init.py:413-414 range excludes maxs); clip the paste the same way.
+        hi = [min(l + s, mx - o)
+              for l, s, mx, o in zip(lo, dense.shape, obj.maxs, spec.origin)]
         # Clip to grid
         src_lo = [max(0, -l) for l in lo]
         dst_lo = [max(0, l) for l in lo]

@@ -219,6 +219,18 @@ def render(lib, data, cam, record_tape: bool = True, max_draws: int = 0):
     return image, tape, diag
 
 
+def zero_roughness(data):
+    """Zero all material roughness for a draw-free deterministic march."""
+    seen = set()
+    for obj in data.objects.values():
+        if obj.sprite:
+            for frame in obj.sprite.frames:
+                for mat in list(frame.data3.values()) + list(frame.data6.values()):
+                    if id(mat) not in seen:
+                        seen.add(id(mat))
+                        mat.roughness = 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -228,24 +240,41 @@ def main():
     ap.add_argument("--zero-roughness", action="store_true",
                     help="zero all material roughness for a draw-free march")
     ap.add_argument("--no-tape", action="store_true")
+    ap.add_argument("--physics-rollout", type=int, metavar="TICKS", default=0,
+                    help="record a TICKS-frame physics rollout instead of an "
+                         "image golden (reference data.py:495-560)")
+    ap.add_argument("--motion-frames", type=int, metavar="N", default=0,
+                    help="record an N-frame Window-loop golden with a moving "
+                         "player + physics + culling (init.py:455-471)")
+    ap.add_argument("--dt", type=float, default=1 / 24)
     args = ap.parse_args()
 
     out_path = os.path.abspath(args.out)
-    lib, data, Camera = load_reference(args.mod)
+
+    if args.physics_rollout:
+        rollout = physics_rollout(args.physics_rollout)
+        np.savez_compressed(out_path, rollout=rollout)
+        print(f"wrote {out_path}: physics rollout {rollout.shape}")
+        return
+
     overrides = {}
     for ov in args.override:
         k, v = ov.split("=", 1)
         overrides[k] = eval(v)  # noqa: S307 - trusted CLI input
+
+    if args.motion_frames:
+        frames, updates, traj = render_motion_frames(
+            args.motion_frames, args.dt, overrides=overrides)
+        np.savez_compressed(out_path, frames=frames,
+                            updates=np.array(updates, np.int64), **traj)
+        print(f"wrote {out_path}: {frames.shape[0]} motion frames, "
+              f"updates at {updates}")
+        return
+
+    lib, data, Camera = load_reference(args.mod)
     apply_overrides(data, overrides)
     if args.zero_roughness:
-        seen = set()
-        for obj in data.objects.values():
-            if obj.sprite:
-                for frame in obj.sprite.frames:
-                    for mat in list(frame.data3.values()) + list(frame.data6.values()):
-                        if id(mat) not in seen:
-                            seen.add(id(mat))
-                            mat.roughness = 0
+        zero_roughness(data)
 
     cam = build_camera(lib, data, Camera)
     image, tape, diag = render(lib, data, cam, record_tape=not args.no_tape)
@@ -271,8 +300,6 @@ def main():
           + (f", tape D={tape.shape[-1]}" if tape is not None else ""))
 
 
-if __name__ == "__main__":
-    main()
 
 
 def physics_rollout(ticks: int = 24):
@@ -379,3 +406,132 @@ def render_window_frames(n_frames: int, dt: float, overrides=None):
                 else:
                     cam.chunk_set(post, None)
     return np.array(frames), updates
+
+
+def render_motion_frames(n_frames: int, dt: float, overrides=None):
+    """The FULL reference Window.update loop (init.py:455-471) with a moving
+    player: forward input impulse every frame (init.py:367-369), physics on
+    every object (init.py:469-470), and the real chunk_update — per-object
+    chunk rebuild for redrawn/moved objects, merged world chunks, LOD select
+    and occlusion culling from ray feedback (init.py:389-452).
+
+    Always run noise-free (roughness zeroed; pass dof=0, lod_random=0 in
+    overrides) so the images are deterministic without RNG tapes. Frame
+    storage uses packed=False Frames — get_voxel semantics are identical to
+    the reference's packed=True, only the internal storage differs.
+
+    Returns (frames [n, H, W, 4], updates, traj dict with per-frame player
+    pos/vel/rot and cam pos/rot)."""
+    lib, data, Camera = load_reference()
+    apply_overrides(data, overrides or {})
+    zero_roughness(data)
+    vec3 = lib.vec3
+    s = data.settings
+    cs = s.chunk_size
+
+    cam = Camera()
+    chunks = {}
+    chunks_objects = {}
+    timer = 0.0
+    traversed = set()
+    frames, updates = [], []
+    traj = {k: [] for k in ("player_pos", "player_vel", "player_rot",
+                            "cam_pos", "cam_rot")}
+
+    for fi in range(n_frames):
+        # -- focused-window branch (init.py:462-468) --
+        cam.pos = data.player.cam_pos
+        cam.rot = data.player.cam_rot
+        image, _tape, diag = render(lib, data, cam, record_tape=False)
+        frames.append(image)
+        traversed = diag["traversed_union"]
+        traj["cam_pos"].append(cam.pos.array())
+        traj["cam_rot"].append([cam.rot.x, cam.rot.y, cam.rot.z, cam.rot.w])
+
+        # -- chunk_update (faithful port of init.py:389-452) --
+        timer += dt
+        if timer >= s.chunk_time:
+            timer -= max(s.chunk_time, dt)
+            updates.append(fi)
+            # pass 1: per-object chunk frames for redrawn objects
+            for obj_id in lib.merge(data.objects.keys(), chunks_objects.keys()):
+                if obj_id in chunks_objects and (
+                        obj_id not in data.objects or data.objects[obj_id].redraw):
+                    for post_chunk in chunks_objects[obj_id]:
+                        chunks[post_chunk] = None
+                    del chunks_objects[obj_id]
+                if (obj_id in data.objects and data.objects[obj_id].redraw
+                        and data.objects[obj_id].visible):
+                    obj = data.objects[obj_id]
+                    obj.redraw = False
+                    spr = obj.get_sprite()
+                    cmin = obj.mins.snapped(cs)
+                    cmax = obj.maxs.snapped(cs)
+                    for cx in range(cmin.x, cmax.x + 1, cs):
+                        for cy in range(cmin.y, cmax.y + 1, cs):
+                            for cz in range(cmin.z, cmax.z + 1, cs):
+                                voxels = {}
+                                pos_min = obj.mins.max(vec3(cx, cy, cz))
+                                pos_max = obj.maxs.min(
+                                    vec3(cx + cs, cy + cs, cz + cs))
+                                post_chunk = cx, cy, cz
+                                chunks[post_chunk] = None
+                                for x in range(pos_min.x, pos_max.x):
+                                    for y in range(pos_min.y, pos_max.y):
+                                        for z in range(pos_min.z, pos_max.z):
+                                            mat = spr.get_voxel(
+                                                None, vec3(x, y, z) - obj.mins,
+                                                obj.rot)
+                                            if mat:
+                                                voxels[(x, y, z)] = mat
+                                if voxels:
+                                    frame = data.Frame(packed=False, resolution=1)
+                                    frame.set_voxels(voxels, True)
+                                    chunks_objects.setdefault(obj_id, {})[
+                                        post_chunk] = frame
+            # pass 2 + 3: merged world chunks, LOD select + culling
+            for post_chunk in list(chunks.keys()):
+                if not chunks[post_chunk]:
+                    voxels = {}
+                    for per_obj in chunks_objects.values():
+                        if post_chunk in per_obj:
+                            voxels |= per_obj[post_chunk].get_voxels()
+                    if voxels:
+                        ladder = []
+                        for lod in range(s.chunk_lod + 1):
+                            frame = data.Frame(packed=False, resolution=lod + 1)
+                            frame.set_voxels(voxels, True)
+                            ladder.append(frame)
+                        chunks[post_chunk] = ladder
+                    else:
+                        del chunks[post_chunk]
+                if post_chunk in chunks and (
+                        not s.culling or post_chunk in traversed):
+                    pos = vec3(*post_chunk) + s.chunk_radius
+                    lod = min(math.trunc(pos.distance(cam.pos)
+                                         / (s.dist_max / (1 + s.chunk_lod))),
+                              s.chunk_lod)
+                    cam.chunk_set(post_chunk, chunks[post_chunk][lod])
+                else:
+                    cam.chunk_set(post_chunk, None)
+
+        # -- object updates: visibility, anim, physics (init.py:469-470) --
+        for obj in list(data.objects.values()):
+            obj.update(cam.pos)
+
+        # -- input: forward key held (init.py:353-369, input_vel.z = 1) --
+        rot = (vec3(0, data.player.rot.y, 0).quaternion() if s.max_pitch
+               else data.player.rot.quaternion())
+        unit = s.speed_move * 1 * dt
+        data.player.accelerate(rot.vec_forward() * max(-1, min(+1, 1)) * unit)
+
+        traj["player_pos"].append(data.player.pos.array())
+        traj["player_vel"].append(data.player.vel.array())
+        traj["player_rot"].append(data.player.rot.array())
+
+    traj = {k: np.array(v, dtype=np.float64) for k, v in traj.items()}
+    return np.array(frames), updates, traj
+
+
+if __name__ == "__main__":
+    main()
