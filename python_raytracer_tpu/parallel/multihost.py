@@ -36,14 +36,20 @@ from python_raytracer_tpu.ops.march import RayBatch
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
-                     process_id: Optional[int] = None) -> None:
-    """Initialize multi-host JAX. No-op when running single-process."""
+                     process_id: Optional[int] = None,
+                     initialization_timeout: int = 120) -> None:
+    """Initialize multi-host JAX. No-op when running single-process.
+
+    Fail-fast by default: a missing peer aborts after
+    ``initialization_timeout`` seconds instead of waiting forever
+    (SURVEY.md §5.3; runtime/elastic.py has the full failure story)."""
     if num_processes is None and coordinator_address is None:
         return  # single process — nothing to do
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
+        initialization_timeout=initialization_timeout,
     )
 
 
