@@ -172,12 +172,27 @@ class Engine:
         The reference shares materials by reference, so editing one retints
         every voxel using it on the next frame (README.md:77); here the
         authored values live in a compiled table, so edits are pushed
-        explicitly (the discrete bits — IOR classes, roughness flags — stay
-        frozen until a full recompile; see scene/material.py)."""
+        explicitly. Edits that change the DISCRETE per-material bits —
+        IOR equality classes (init.py:106 compares IORs for equality) or
+        the roughness-draw flag — are detected and trigger an automatic
+        re-bake: the bits are inputs of bake_chunks, so the cell words
+        refresh without any jit recompilation (scene/material.py)."""
+        reg = self.compiled.registry
         self.compiled.arrays = dataclasses.replace(
             self.compiled.arrays,
-            material_table=jnp.asarray(self.compiled.registry.table()),
+            material_table=jnp.asarray(reg.table()),
         )
+        flags = reg.flags()
+        mat_bits = jnp.asarray(flags["ior_class"] | (flags["has_roughness"] << 4))
+        if not bool(jnp.array_equal(mat_bits, self.compiled.arrays.mat_bits)):
+            self.compiled.arrays = dataclasses.replace(
+                self.compiled.arrays,
+                mat_bits=mat_bits,
+                has_roughness=jnp.asarray(flags["has_roughness"]),
+                has_ior=jnp.asarray(flags["has_ior"]),
+                program=jnp.asarray(flags["program"]),
+            )
+            self._rebake()
 
     def chunk_update(self, dt: float):
         """Rebuild the world grid for redrawn objects and re-bake LOD/culling,

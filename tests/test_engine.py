@@ -89,3 +89,44 @@ def test_static_mode_noise_is_frame_stable():
                         jnp.asarray(eng.cam_rot, jnp.float32), eng.lens,
                         jax.random.PRNGKey(999))
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_ior_edit_recompiles_classes():
+    """Editing a material's IOR across equality-class boundaries at runtime
+    must re-bake the cell words (reference behavior: materials are shared by
+    reference and edits apply immediately, README.md:77 + init.py:106) —
+    the rendered frame must equal a fresh compile of the edited scene."""
+    import jax.numpy as jnp
+
+    from conftest import zero_roughness
+
+    # static deterministic config: no gravity, no noise sources, so the two
+    # engines below see identical scene state and RNG-independent frames
+    st = default_settings().replace(width=32, height=24, samples=1, dof=0.0,
+                                    lod_random=0.0, culling=False, gravity=0.0)
+    scene = build_default_scene(st)
+    zero_roughness(scene)
+    engine = Engine(scene, dtype=jnp.float64, pipeline=False)
+    engine.step(1 / 24)
+
+    # edit glass-like materials: move every ior=0.25 material to 0.5 —
+    # merges its equality class with the scatter materials' class
+    edited = []
+    for mat in engine.compiled.registry._materials:
+        if mat is not None and float(mat.ior) == 0.25:
+            mat.ior = 0.5
+            edited.append(mat)
+    assert edited, "expected an ior=0.25 material in the default scene"
+
+    old_bits = np.asarray(engine.compiled.arrays.mat_bits).copy()
+    engine.refresh_materials()
+    assert not np.array_equal(np.asarray(engine.compiled.arrays.mat_bits),
+                              old_bits), "mat_bits must change"
+    img_edit = engine.step(1 / 24)
+
+    # fresh compile of the already-edited scene must render identically
+    engine2 = Engine(scene, dtype=jnp.float64, pipeline=False)
+    engine2.step(1 / 24)
+    img_fresh = engine2.step(1 / 24)
+    np.testing.assert_array_equal(np.asarray(engine.last_frame),
+                                  np.asarray(engine2.last_frame))
