@@ -143,12 +143,12 @@ def main():
     # slower end-to-end than the single-dispatch while-march despite doing
     # less device work. Default to the single-dispatch path.
     compact = os.environ.get("BENCH_COMPACT", "0") == "1"
-    # Ladder mode: on-device width-shrinking march (ops/compact.py
-    # march_ladder) — compaction's saved gathers without compact mode's
-    # per-segment dispatch RTT; single jit, bit-identical results. Schedule
-    # tuned from the default scene's survival curve (tools/survival_curve.py:
-    # 50% of rays dead by trip 19, 90% by 25, all by 35).
-    ladder = os.environ.get("BENCH_LADDER", "1") == "1"
+    # Block mode (default): the Pallas blockwise march kernel
+    # (ops/blockmarch.py) — zero HBM gathers in the inner loop, bit-exact
+    # vs the XLA march. Ladder mode: on-device width-shrinking XLA march
+    # (ops/compact.py march_ladder), the round-1 path, kept as fallback.
+    block = os.environ.get("BENCH_BLOCK", "1") == "1"
+    ladder = os.environ.get("BENCH_LADDER", "1") == "1" and not block
     unroll = int(os.environ.get("BENCH_UNROLL", "1"))
 
     st = default_settings().replace(exact=False, static=False)
@@ -191,7 +191,12 @@ def main():
     elif fwd_only:
         def forward(table, rays):
             arrays = dataclasses.replace(cs.arrays, material_table=table)
-            if ladder:
+            if block:
+                from python_raytracer_tpu.ops.blockmarch import march_blockwise
+                res = march_blockwise(st, cs.spec, arrays, rays, key=key,
+                                      background="sky",
+                                      programs_used=cs.programs_used)
+            elif ladder:
                 from python_raytracer_tpu.ops.compact import march_ladder
                 res = march_ladder(st, cs.spec, arrays, rays, key=key,
                                    background="sky",
@@ -207,10 +212,10 @@ def main():
     else:
         from python_raytracer_tpu.ops.diff import make_diff_renderer
 
-        renderer = make_diff_renderer(st, cs.spec, max_hits=16,
-                                      programs_used=cs.programs_used,
-                                      forward="ladder" if ladder else "while",
-                                      with_stats=True)
+        renderer = make_diff_renderer(
+            st, cs.spec, max_hits=16, programs_used=cs.programs_used,
+            forward="block" if block else ("ladder" if ladder else "while"),
+            with_stats=True)
 
         def forward(table, rays):
             color, _, msteps, mbounces = renderer(table, cs.arrays, rays, key)
@@ -235,6 +240,7 @@ def main():
         "compile_sec": round(compile_s, 1),
         "fwd_only": fwd_only,
         "compact": compact,
+        "block": block,
         "ladder": ladder,
         "unroll": unroll,
         "degraded": degraded,

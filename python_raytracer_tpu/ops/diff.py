@@ -136,7 +136,16 @@ def make_diff_renderer(
 
     def _forward(table, arrays: SceneArrays, rays: RayBatch, key):
         arr = dataclasses.replace(arrays, material_table=table)
-        if forward == "ladder":
+        if forward == "block":
+            # Pallas blockwise kernel (ops/blockmarch.py): the production
+            # TPU forward — bit-exact vs the while-march incl. the hit tape.
+            from python_raytracer_tpu.ops.blockmarch import march_blockwise
+
+            res = march_blockwise(
+                settings, spec, arr, rays, key=key, background=background,
+                record_hits=max_hits, programs_used=programs_used,
+            )
+        elif forward == "ladder":
             from python_raytracer_tpu.ops.compact import march_ladder
 
             res = march_ladder(

@@ -123,3 +123,44 @@ def test_pack_blocks_roundtrip(scene):
         cword = int(np.asarray(coarse)[z // 16, (x // 16) * CY + y // 16])
         assert cword >> 3 == page
         assert cword & 7 == int(np.asarray(cs.arrays.chunk_res)[page])
+
+
+def test_blockmarch_diff_grads_match_while(scene):
+    """make_diff_renderer(forward='block') must produce the same gradients
+    as the while-march forward (the hit tape is bit-identical, so the
+    hit-replay backward sees identical inputs)."""
+    import dataclasses
+
+    from python_raytracer_tpu.ops import blockmarch as B
+    from python_raytracer_tpu.ops.diff import make_diff_renderer
+
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(9)
+    rays = _rays(st, cam_pos, cam_rot, 1024, key)
+
+    # interpret mode for the kernel on CPU
+    orig = B.march_blockwise
+
+    def interp(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    B.march_blockwise = interp
+    try:
+        r_block = make_diff_renderer(st, cs.spec, max_hits=16,
+                                     programs_used=cs.programs_used,
+                                     forward="block")
+        r_while = make_diff_renderer(st, cs.spec, max_hits=16,
+                                     programs_used=cs.programs_used,
+                                     forward="while")
+
+        def loss(renderer, table):
+            color, _ = renderer(table, cs.arrays, rays, key)
+            return jnp.mean(color / 255.0)
+
+        table = cs.arrays.material_table
+        g_block = jax.grad(lambda t: loss(r_block, t))(table)
+        g_while = jax.grad(lambda t: loss(r_while, t))(table)
+        np.testing.assert_array_equal(np.asarray(g_block), np.asarray(g_while))
+    finally:
+        B.march_blockwise = orig
