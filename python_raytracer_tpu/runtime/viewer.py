@@ -83,7 +83,11 @@ def run_viewer(engine: Engine):  # pragma: no cover - interactive
                     axis, sign = keymap_rot[e.key]
                     input_rot[axis] -= sign
 
-        if pg.mouse.get_focused():
+        # the dummy SDL driver never reports focus; treat it as focused so
+        # headless sessions (tests, CI smokes) actually step the engine
+        focused = pg.mouse.get_focused() or os.environ.get(
+            "SDL_VIDEODRIVER") == "dummy"
+        if focused:
             image = engine.step(dt)
             if image is None:
                 break
