@@ -163,7 +163,7 @@ def _sublane_pick(rows_T, idx, k, w):
 
 def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                  record_hits: int, ep_cap: int, inner_cap: int,
-                 czp: int, cxyp: int, kp: int):
+                 czp: int, cxyp: int, kp: int, unroll: int = 1):
     """Build the kernel body (all settings/geometry static)."""
     cs = float(settings.chunk_size)
     csi = settings.chunk_size
@@ -231,8 +231,7 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 it, go = c
                 return jnp.logical_and(it < inner_cap, go)
 
-            def inner_body(c):
-                it, _ = c
+            def one_iteration():
                 px, py, pz, vx, vy, vz, flags = read_state()
                 alive = (flags & _FLAG_ALIVE) > 0
                 has_box = (flags & _FLAG_HASBOX) > 0
@@ -479,8 +478,16 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 I_out[_I_PTR] = ptr
                 I_out[_I_COUNT] = count
 
-                go = jnp.any(alive & ((cres == 0) | (page == loaded)))
-                return it + 1, go
+                return jnp.any(alive & ((cres == 0) | (page == loaded)))
+
+            def inner_body(c):
+                it, _ = c
+                # unrolled sub-iterations amortize loop-control overhead;
+                # masked lanes no-op, so semantics are unchanged (the cond
+                # is just checked less often — same trick as ops/march.py)
+                for _ in range(unroll):
+                    go = one_iteration()
+                return it + unroll, go
 
             jax.lax.while_loop(inner_cond, inner_body,
                                (jnp.zeros((), jnp.int32), jnp.array(True)))
@@ -518,10 +525,19 @@ def march_blockwise(
     tile: int = 1024,
     ep_cap: int = 32,
     inner_cap: int = 24,
+    supersteps: int = 1,
+    unroll: int = 1,
     cleanup: bool = True,
     interpret: bool = False,
 ) -> MarchResult:
     """Bit-exact drop-in for ``march(mode="while")`` in key-RNG mode.
+
+    ``supersteps`` > 1 re-invokes the kernel with a compaction co-sort in
+    between (dead lanes to the back — all-dead tiles exit at episode 0 —
+    and survivors regrouped by (stall desc, needed page)): the mid-march
+    load-balancing the single-invocation kernel cannot do across tiles.
+    ``ep_cap`` applies per invocation. ``unroll`` repeats the inner march
+    body per loop trip (identical semantics, fewer cond evaluations).
 
     Constraints (callers fall back to the XLA march otherwise): f32 rays,
     key mode (no tape), single PBR program, chunk_size 16, exact=False,
@@ -590,39 +606,63 @@ def march_blockwise(
     Rrec = jnp.zeros((hp, npad), jnp.int32)
 
     kernel = _make_kernel(settings, spec, w=w, record_hits=H, ep_cap=ep_cap,
-                          inner_cap=inner_cap, czp=czp, cxyp=cxyp, kp=kp)
+                          inner_cap=inner_cap, czp=czp, cxyp=cxyp, kp=kp,
+                          unroll=unroll)
     grid = (npad // w,)
     state_spec = lambda rows: pl.BlockSpec((rows, w), lambda t, s: (0, t),
                                            memory_space=pltpu.VMEM)
     groups = w // 256
-    F2, I2, R2 = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                state_spec(F_ROWS),
-                state_spec(I_ROWS),
-                state_spec(hp),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+
+    def run_kernel(F, I, Rrec):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    state_spec(F_ROWS),
+                    state_spec(I_ROWS),
+                    state_spec(hp),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=[state_spec(F_ROWS), state_spec(I_ROWS),
+                           state_spec(hp)],
+                scratch_shapes=[
+                    pltpu.VMEM((groups, 64, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA((groups,)),
+                    pltpu.VMEM((2, w), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((F_ROWS, npad), dtype),
+                jax.ShapeDtypeStruct((I_ROWS, npad), jnp.int32),
+                jax.ShapeDtypeStruct((hp, npad), jnp.int32),
             ],
-            out_specs=[state_spec(F_ROWS), state_spec(I_ROWS),
-                       state_spec(hp)],
-            scratch_shapes=[
-                pltpu.VMEM((groups, 64, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA((groups,)),
-                pltpu.VMEM((2, w), jnp.float32),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((F_ROWS, npad), dtype),
-            jax.ShapeDtypeStruct((I_ROWS, npad), jnp.int32),
-            jax.ShapeDtypeStruct((hp, npad), jnp.int32),
-        ],
-        interpret=interpret,
-    )(scal, F, I, Rrec, blocks, coarse, mat8)
+            interpret=interpret,
+        )(scal, F, I, Rrec, blocks, coarse, mat8)
+
+    F2, I2, R2 = run_kernel(F, I, Rrec)
+    for _ in range(1, supersteps):
+        # compaction co-sort: dead lanes last (all-dead tiles exit at
+        # episode 0), survivors grouped by (stall desc, needed page)
+        flags = I2[_I_FLAGS]
+        alive_f = flags & 1
+        stall_f = (flags >> _STALL_SHIFT) & _STALL_MAX
+        page_f = flags >> _PAGE_SHIFT
+        key_f = jnp.where(alive_f > 0,
+                          ((_STALL_MAX - stall_f) << 24) | page_f,
+                          jnp.int32(2 ** 30))
+        ops = ([key_f, sid_s] + [F2[i] for i in range(F_ROWS)]
+               + [I2[i] for i in range(3)] + [R2[i] for i in range(hp)])
+        out = jax.lax.sort(ops, dimension=0, is_stable=False, num_keys=1)
+        sid_s = out[1]
+        F2 = jnp.stack(out[2:2 + F_ROWS])
+        I2 = jnp.zeros((I_ROWS, npad), jnp.int32).at[:3].set(
+            jnp.stack(out[2 + F_ROWS:5 + F_ROWS]))
+        R2 = jnp.stack(out[5 + F_ROWS:5 + F_ROWS + hp])
+        F2, I2, R2 = run_kernel(F2, I2, R2)
 
     # --- final unsort (one multi-operand co-sort keyed by slot id) ---
     ops = [sid_s] + [F2[i] for i in range(F_ROWS)] + [

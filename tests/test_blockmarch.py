@@ -164,3 +164,17 @@ def test_blockmarch_diff_grads_match_while(scene):
         np.testing.assert_array_equal(np.asarray(g_block), np.asarray(g_while))
     finally:
         B.march_blockwise = orig
+
+
+def test_blockmarch_supersteps_unroll_exact(scene):
+    """Mid-march compaction supersteps + inner unroll stay bit-exact."""
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(21)
+    rays = _rays(st, cam_pos, cam_rot, 2048, key)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used, record_hits=16)
+    out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                          background="sky", programs_used=cs.programs_used,
+                          record_hits=16, supersteps=3, ep_cap=4,
+                          inner_cap=10, unroll=2, interpret=True)
+    _assert_same(ref, out)
