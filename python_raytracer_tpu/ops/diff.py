@@ -39,20 +39,27 @@ from python_raytracer_tpu.utils.mathutils import cheb_normalize
 
 
 def _replay(table, settings: Settings, records: HitRecords, v0,
-            background: Optional[str], programs_used=(0,), program_ids=None):
+            background: Optional[str], programs_used=(0,), program_ids=None,
+            voxel_albedo=None):
     """Re-run the shading chain from the hit tape. Produces bit-identical
-    color/energy to the forward march given the same records."""
+    color/energy to the forward march given the same records.
+    ``voxel_albedo``: the per-cell albedo offset grid (requires
+    ``records.cell``) — gradients route into it through the gather's
+    scatter-add VJP (SURVEY.md §7 stage 5 optional extension)."""
     n, h = records.vid.shape
     dtype = v0.dtype
 
     def hit_step(carry, rec):
         color, energy, vel, bounces, idx = carry
-        vid, u, flip, pid = rec
+        vid, u, flip, pid, cell = rec
         live = idx < records.count  # [N]
         onehot = (vid[:, None] == jnp.arange(table.shape[0])[None, :]).astype(dtype)
         rows = jnp.dot(onehot, table, preferred_element_type=dtype)
+        albedo = rows[:, M.PARAM_ALBEDO_R : M.PARAM_ALBEDO_B + 1]
+        if voxel_albedo is not None:
+            albedo = albedo + voxel_albedo.astype(dtype)[cell]
         mat = P.MatParams(
-            albedo=rows[:, M.PARAM_ALBEDO_R : M.PARAM_ALBEDO_B + 1],
+            albedo=albedo,
             roughness=rows[:, M.PARAM_ROUGHNESS],
             absorption=rows[:, M.PARAM_ABSORPTION],
             ior=rows[:, M.PARAM_IOR],
@@ -87,11 +94,13 @@ def _replay(table, settings: Settings, records: HitRecords, v0,
         program_ids[records.vid] if program_ids is not None and len(programs_used) > 1
         else jnp.zeros_like(records.vid)
     )
+    cells = records.cell if records.cell is not None else jnp.zeros_like(records.vid)
     recs = (
         jnp.moveaxis(records.vid, 1, 0),
         jnp.moveaxis(records.u, 1, 0),
         jnp.moveaxis(records.flip, 1, 0),
         jnp.moveaxis(pid_per_hit, 1, 0),
+        jnp.moveaxis(cells, 1, 0),
     )
     # Rematerialize each hit step in the backward: without this the scan
     # stores per-step one-hots/rows ([N, K] x H residuals, ~hundreds of MB)
@@ -116,6 +125,7 @@ def make_diff_renderer(
     forward: str = "while",
     ladder_schedule=((20, 1), (5, 2), (11, 8)),
     with_stats: bool = False,
+    voxel_grid: bool = False,
 ):
     """Build ``render(table, arrays, rays, key) -> (color [N,3], energy [N])``
     differentiable w.r.t. ``table`` with the while-march forward + hit-replay
@@ -128,14 +138,23 @@ def make_diff_renderer(
     grid gathers (the march's measured bottleneck); ``ladder_schedule`` comes
     from the scene's survival curve (tools/survival_curve.py).
 
+    ``voxel_grid=True`` changes the signature to ``render(table,
+    voxel_albedo, arrays, rays, key)`` — a dense per-cell albedo-offset
+    field [X*Y*Z, 3] differentiated alongside the table (SURVEY.md §7
+    stage 5 optional extension; XLA forwards only — the march records the
+    hit cells and the replay backward scatter-adds into the grid).
+
     Diff-path ABI note: custom material programs are replayed with zeroed
     ``step``/``life`` ray fields (they are not outputs); programs whose
     color/energy/vel outputs depend on those fields get approximate
     gradients (the builtin PBR program does not)."""
     settings = settings.replace(exact=False)
+    if voxel_grid and forward != "while":
+        raise ValueError("voxel_grid needs the plain while-march forward")
 
-    def _forward(table, arrays: SceneArrays, rays: RayBatch, key):
+    def _forward(table, voxg, arrays: SceneArrays, rays: RayBatch, key):
         arr = dataclasses.replace(arrays, material_table=table)
+        vkw = dict(voxel_albedo=voxg, record_cells=True) if voxel_grid else {}
         if forward == "block":
             # Pallas blockwise kernel (ops/blockmarch.py): the production
             # TPU forward — bit-exact vs the while-march incl. the hit tape.
@@ -157,19 +176,46 @@ def make_diff_renderer(
             res = march(
                 settings, spec, arr, rays, key=key, background=background,
                 mode="while", record_hits=max_hits, programs_used=programs_used,
+                **vkw,
             )
         out = (res.color, res.energy)
         if with_stats:
             out = out + (jnp.mean(res.step), jnp.mean(res.bounces))
         return out, (res.hits, rays.vel, arrays.program)
 
+    def _bwd_core(table, voxg, hits, v0, program_ids, g):
+        _, vjp = jax.vjp(
+            lambda t, v: _replay(t, settings, hits, v0, background,
+                                 programs_used, program_ids, voxel_albedo=v),
+            table, voxg,
+        )
+        return vjp(g[:2] if with_stats else g)
+
+    if voxel_grid:
+        @jax.custom_vjp
+        def render(table, voxg, arrays, rays, key):
+            out, _ = _forward(table, voxg, arrays, rays, key)
+            return out
+
+        def render_fwd(table, voxg, arrays, rays, key):
+            out, (hits, v0, pids) = _forward(table, voxg, arrays, rays, key)
+            return out, (table, voxg, hits, v0, pids)
+
+        def render_bwd(residuals, g):
+            table, voxg, hits, v0, pids = residuals
+            dtable, dvox = _bwd_core(table, voxg, hits, v0, pids, g)
+            return dtable, dvox, None, None, None
+
+        render.defvjp(render_fwd, render_bwd)
+        return render
+
     @jax.custom_vjp
     def render(table, arrays, rays, key):
-        out, _ = _forward(table, arrays, rays, key)
+        out, _ = _forward(table, None, arrays, rays, key)
         return out
 
     def render_fwd(table, arrays, rays, key):
-        out, (hits, v0, program_ids) = _forward(table, arrays, rays, key)
+        out, (hits, v0, program_ids) = _forward(table, None, arrays, rays, key)
         return out, (table, hits, v0, program_ids)
 
     def render_bwd(residuals, g):

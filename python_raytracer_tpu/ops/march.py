@@ -70,6 +70,9 @@ class HitRecords(NamedTuple):
     u: jnp.ndarray  # [N, H, 3] roughness-jitter uniforms actually applied
     flip: jnp.ndarray  # int32 [N, H] IOR flip bitmask (bits 0..2 = x,y,z)
     count: jnp.ndarray  # int32 [N] total hits (may exceed H on overflow)
+    cell: Optional[jnp.ndarray] = None  # int32 [N, H] flat grid cell per hit
+    # (recorded only on the per-voxel differentiable path, SURVEY.md §7
+    # stage 5 optional extension — see ops/diff.py voxel_albedo)
 
 
 class MarchResult(NamedTuple):
@@ -151,7 +154,8 @@ def _neighbor_id_cls(spec, arrays, npos, cmin, cmax, cres):
 
 
 def initial_state(settings: Settings, spec: GridSpec, rays: RayBatch,
-                  record_hits: int = 0, tape_ptr=None) -> "_State":
+                  record_hits: int = 0, tape_ptr=None,
+                  record_cells: bool = False) -> "_State":
     """Fresh march state for segmented execution (parallel/gridshard.py)."""
     n = rays.pos.shape[0]
     dtype = rays.pos.dtype
@@ -170,6 +174,8 @@ def initial_state(settings: Settings, spec: GridSpec, rays: RayBatch,
                 u=jnp.full((n, record_hits, 3), 0.5, dtype),
                 flip=jnp.zeros((n, record_hits), jnp.int32),
                 count=jnp.zeros((n,), jnp.int32),
+                cell=(jnp.zeros((n, record_hits), jnp.int32)
+                      if record_cells else None),
             )
             if record_hits
             else None
@@ -213,6 +219,8 @@ def march(
     finalize: bool = True,
     slab=None,
     unroll: int = 1,
+    voxel_albedo: Optional[jnp.ndarray] = None,
+    record_cells: bool = False,
 ) -> MarchResult:
     """March a batch of rays to completion. See module docstring.
 
@@ -223,6 +231,12 @@ def march(
     resumption; ``slab=(x0_cells, width_cells)`` restricts progress to rays
     whose current cell lies in that grid X-slab (others stay frozen with
     exact state) with ``arrays.cell_word`` holding only the slab.
+
+    Per-voxel differentiable parameters (SURVEY.md §7 stage 5 optional
+    extension): ``voxel_albedo`` [X*Y*Z, 3] adds a per-cell albedo offset to
+    the hit material's albedo (a dense differentiable field beyond the
+    shared table); ``record_cells`` adds the flat hit cell to the hit tape
+    so the replay backward (ops/diff.py) can route gradients into the grid.
     """
     n = rays.pos.shape[0]
     dtype = rays.pos.dtype
@@ -308,8 +322,19 @@ def march(
         # clean transposed-matmul gradient into the table.
         onehot = (vid[:, None] == jnp.arange(table.shape[0])[None, :]).astype(dtype)
         rows = jnp.dot(onehot, table, preferred_element_type=dtype)
+        albedo = rows[:, M.PARAM_ALBEDO_R : M.PARAM_ALBEDO_B + 1]
+        gsafe_flat = None
+        if voxel_albedo is not None or record_cells:
+            g = fpos - jnp.array(spec.origin, jnp.int32)
+            gc = jnp.clip(g, 0, jnp.array(spec.shape, jnp.int32) - 1)
+            gsafe_flat = spec.cell_flat(gc[:, 0], gc[:, 1], gc[:, 2])
+        if voxel_albedo is not None:
+            # dense per-cell albedo offset (hit cells are always in-grid,
+            # and non-hit lanes' contributions are masked by the hit select
+            # below, which also blocks their gradient)
+            albedo = albedo + voxel_albedo.astype(dtype)[gsafe_flat]
         mat = P.MatParams(
-            albedo=rows[:, M.PARAM_ALBEDO_R : M.PARAM_ALBEDO_B + 1],
+            albedo=albedo,
             roughness=rows[:, M.PARAM_ROUGHNESS],
             absorption=rows[:, M.PARAM_ABSORPTION],
             ior=rows[:, M.PARAM_IOR],
@@ -388,6 +413,8 @@ def march(
                 u=jnp.where(sel[:, :, None], u[:, None, :], hits_rec.u),
                 flip=jnp.where(sel, flip_bits[:, None], hits_rec.flip),
                 count=cnt + hit.astype(jnp.int32),
+                cell=(jnp.where(sel, gsafe_flat[:, None], hits_rec.cell)
+                      if record_cells else hits_rec.cell),
             )
 
         # -- 5. advance (init.py:113-116) --
@@ -460,6 +487,8 @@ def march(
                     u=jnp.full((n, record_hits, 3), 0.5, dtype),
                     flip=jnp.zeros((n, record_hits), jnp.int32),
                     count=jnp.zeros((n,), jnp.int32),
+                    cell=(jnp.zeros((n, record_hits), jnp.int32)
+                          if record_cells else None),
                 )
                 if record_hits
                 else None

@@ -140,3 +140,48 @@ def test_custom_vjp_matches_scan_autodiff(tiny):
     l_scan, g_scan = jax.value_and_grad(loss_scan)(table)
     np.testing.assert_allclose(float(l_fast), float(l_scan), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_scan), rtol=1e-8, atol=1e-12)
+
+
+def test_voxel_grid_gradients(tiny):
+    """Per-voxel differentiable albedo grid (SURVEY §7 stage 5 optional):
+    forward responds to per-cell offsets, gradients match finite
+    differences, and grads land ONLY on cells that were actually hit."""
+    st, cs, rays, target = tiny
+    from python_raytracer_tpu.ops.diff import make_diff_renderer
+
+    renderer = make_diff_renderer(st, cs.spec, max_hits=16,
+                                  programs_used=cs.programs_used,
+                                  voxel_grid=True)
+    table = cs.arrays.material_table.astype(jnp.float64)
+    nv = int(np.prod(cs.spec.shape))
+    vox0 = jnp.zeros((nv, 3), jnp.float64)
+
+    def loss(t, v):
+        color, _ = renderer(t, v, cs.arrays, rays, jax.random.PRNGKey(0))
+        return jnp.mean((color / 255.0 - target) ** 2)
+
+    l0 = float(loss(table, vox0))
+    dvox = jax.grad(loss, argnums=1)(table, vox0)
+    dvox = np.asarray(dvox)
+    assert np.isfinite(dvox).all()
+    nz = np.nonzero(np.abs(dvox).sum(axis=1))[0]
+    assert len(nz) > 0, "some hit cells must receive gradient"
+    # only renderable cells may receive gradient
+    baked = np.asarray(cs.arrays.cell_word) & 0xFFF
+    assert (baked[nz] > 0).all(), "gradient on an empty cell"
+
+    # finite differences on the strongest cells
+    eps = 1e-4
+    flat_idx = nz[np.argsort(-np.abs(dvox[nz]).sum(axis=1))[:3]]
+    for ci in flat_idx:
+        ch = int(np.argmax(np.abs(dvox[ci])))
+        vp = vox0.at[ci, ch].add(eps)
+        vm = vox0.at[ci, ch].add(-eps)
+        fd = (float(loss(table, vp)) - float(loss(table, vm))) / (2 * eps)
+        import pytest as _pytest
+        assert dvox[ci, ch] == _pytest.approx(fd, rel=2e-4, abs=1e-10), ci
+
+    # forward effect: a big offset on a hit cell changes the image
+    vbig = vox0.at[int(flat_idx[0])].set(jnp.array([50.0, 50.0, 50.0]))
+    l1 = float(loss(table, vbig))
+    assert l1 != l0
