@@ -150,6 +150,13 @@ def main():
     block = os.environ.get("BENCH_BLOCK", "1") == "1"
     ladder = os.environ.get("BENCH_LADDER", "1") == "1" and not block
     unroll = int(os.environ.get("BENCH_UNROLL", "1"))
+    block_kw = dict(
+        tile=int(os.environ.get("BENCH_TILE", "2048")),
+        supersteps=int(os.environ.get("BENCH_SUPERSTEPS", "1")),
+        ep_cap=int(os.environ.get("BENCH_EP_CAP", "32")),
+        inner_cap=int(os.environ.get("BENCH_INNER_CAP", "24")),
+        unroll=int(os.environ.get("BENCH_BLOCK_UNROLL", "1")),
+    )
 
     st = default_settings().replace(exact=False, static=False)
     scene = build_default_scene(st)
@@ -195,7 +202,8 @@ def main():
                 from python_raytracer_tpu.ops.blockmarch import march_blockwise
                 res = march_blockwise(st, cs.spec, arrays, rays, key=key,
                                       background="sky",
-                                      programs_used=cs.programs_used)
+                                      programs_used=cs.programs_used,
+                                      **block_kw)
             elif ladder:
                 from python_raytracer_tpu.ops.compact import march_ladder
                 res = march_ladder(st, cs.spec, arrays, rays, key=key,
@@ -215,7 +223,7 @@ def main():
         renderer = make_diff_renderer(
             st, cs.spec, max_hits=16, programs_used=cs.programs_used,
             forward="block" if block else ("ladder" if ladder else "while"),
-            with_stats=True)
+            with_stats=True, block_kw=block_kw)
 
         def forward(table, rays):
             color, _, msteps, mbounces = renderer(table, cs.arrays, rays, key)
@@ -241,6 +249,7 @@ def main():
         "fwd_only": fwd_only,
         "compact": compact,
         "block": block,
+        "block_kw": block_kw if block else None,
         "ladder": ladder,
         "unroll": unroll,
         "degraded": degraded,

@@ -126,6 +126,7 @@ def make_diff_renderer(
     ladder_schedule=((20, 1), (5, 2), (11, 8)),
     with_stats: bool = False,
     voxel_grid: bool = False,
+    block_kw: Optional[dict] = None,
 ):
     """Build ``render(table, arrays, rays, key) -> (color [N,3], energy [N])``
     differentiable w.r.t. ``table`` with the while-march forward + hit-replay
@@ -163,6 +164,7 @@ def make_diff_renderer(
             res = march_blockwise(
                 settings, spec, arr, rays, key=key, background=background,
                 record_hits=max_hits, programs_used=programs_used,
+                **(block_kw or {}),
             )
         elif forward == "ladder":
             from python_raytracer_tpu.ops.compact import march_ladder
