@@ -163,7 +163,8 @@ def _sublane_pick(rows_T, idx, k, w):
 
 def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                  record_hits: int, ep_cap: int, inner_cap: int,
-                 czp: int, cxyp: int, kp: int, unroll: int = 1):
+                 czp: int, cxyp: int, kp: int, unroll: int = 1,
+                 record_traversed: bool = False):
     """Build the kernel body (all settings/geometry static)."""
     cs = float(settings.chunk_size)
     csi = settings.chunk_size
@@ -178,11 +179,12 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
     H = record_hits
 
     def kernel(scal_ref, F_in, I_in, R_in, blocks_hbm, coarse_ref, mat_ref,
-               F_out, I_out, R_out, bufs, sems, picked):
+               F_out, I_out, R_out, T_out, bufs, sems, picked):
         F_out[:] = F_in[:]
         I_out[:] = I_in[:]
         if H:
             R_out[:] = R_in[:]
+        T_out[0] = jnp.zeros((czp, cxyp), jnp.int32)
         k1 = scal_ref[0]
         k2 = scal_ref[1]
 
@@ -274,6 +276,27 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                     lambda _: (jnp.zeros((w,), jnp.int32),
                                jnp.zeros((w,), jnp.int32),
                                px, py, pz), 0)
+
+                if record_traversed:
+                    # traversed-chunk feedback (reference init.py:72-73):
+                    # OR of switched lanes' (cz, cxy) via one gated MXU
+                    # outer product accumulated into the tile's bitmask
+                    @pl.when(any_switch)
+                    def _():
+                        ccx = (jnp.floor(px / cs) - ox / cs).astype(jnp.int32)
+                        ccy = (jnp.floor(py / cs) - oy / cs).astype(jnp.int32)
+                        ccz = (jnp.floor(pz / cs) - oz / cs).astype(jnp.int32)
+                        in_g = ((ccx >= 0) & (ccx < CX) & (ccy >= 0)
+                                & (ccy < CY) & (ccz >= 0) & (ccz < CZ))
+                        m = switch & in_g
+                        cxy_t = jnp.where(m, ccx * CY + ccy, -1)
+                        cz_t = jnp.where(m, ccz, -1)
+                        oh_cz = _onehot_T(cz_t, czp, w)
+                        oh_cxy = _onehot_T(cxy_t, cxyp, w)
+                        acc = jax.lax.dot_general(
+                            oh_cz, oh_cxy, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        T_out[0] = T_out[0] | (acc > 0).astype(jnp.int32)
                 cmx = jnp.where(switch, sx, cmx)
                 cmy = jnp.where(switch, sy, cmy)
                 cmz = jnp.where(switch, sz, cmz)
@@ -522,6 +545,7 @@ def march_blockwise(
     programs_used: Tuple[int, ...] = (M.PROGRAM_PBR,),
     background: Optional[str] = "sky",
     record_hits: int = 0,
+    record_traversed: bool = False,
     tile: int = 1024,
     ep_cap: int = 32,
     inner_cap: int = 24,
@@ -541,9 +565,9 @@ def march_blockwise(
 
     Constraints (callers fall back to the XLA march otherwise): f32 rays,
     key mode (no tape), single PBR program, chunk_size 16, exact=False,
-    no traversed recording, march_steps >= dist_max (the global iteration
-    cap must never truncate a ray mid-flight — true for every reference
-    config since each iteration advances step by >= 1 and life <= dist_max).
+    march_steps >= dist_max (the global iteration cap must never truncate
+    a ray mid-flight — true for every reference config since each
+    iteration advances step by >= 1 and life <= dist_max).
     """
     if settings.exact:
         raise ValueError("blockmarch is the f32 fast path (exact=False only)")
@@ -607,7 +631,7 @@ def march_blockwise(
 
     kernel = _make_kernel(settings, spec, w=w, record_hits=H, ep_cap=ep_cap,
                           inner_cap=inner_cap, czp=czp, cxyp=cxyp, kp=kp,
-                          unroll=unroll)
+                          unroll=unroll, record_traversed=record_traversed)
     grid = (npad // w,)
     state_spec = lambda rows: pl.BlockSpec((rows, w), lambda t, s: (0, t),
                                            memory_space=pltpu.VMEM)
@@ -628,7 +652,9 @@ def march_blockwise(
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 out_specs=[state_spec(F_ROWS), state_spec(I_ROWS),
-                           state_spec(hp)],
+                           state_spec(hp),
+                           pl.BlockSpec((1, czp, cxyp), lambda t, s: (t, 0, 0),
+                                        memory_space=pltpu.VMEM)],
                 scratch_shapes=[
                     pltpu.VMEM((groups, 64, 128), jnp.float32),
                     pltpu.SemaphoreType.DMA((groups,)),
@@ -639,11 +665,13 @@ def march_blockwise(
                 jax.ShapeDtypeStruct((F_ROWS, npad), dtype),
                 jax.ShapeDtypeStruct((I_ROWS, npad), jnp.int32),
                 jax.ShapeDtypeStruct((hp, npad), jnp.int32),
+                jax.ShapeDtypeStruct((npad // w, czp, cxyp), jnp.int32),
             ],
             interpret=interpret,
         )(scal, F, I, Rrec, blocks, coarse, mat8)
 
-    F2, I2, R2 = run_kernel(F, I, Rrec)
+    F2, I2, R2, T2 = run_kernel(F, I, Rrec)
+    trav_acc = T2.any(axis=0) if record_traversed else None
     for _ in range(1, supersteps):
         # compaction co-sort: dead lanes last (all-dead tiles exit at
         # episode 0), survivors grouped by (stall desc, needed page)
@@ -662,7 +690,9 @@ def march_blockwise(
         I2 = jnp.zeros((I_ROWS, npad), jnp.int32).at[:3].set(
             jnp.stack(out[2 + F_ROWS:5 + F_ROWS]))
         R2 = jnp.stack(out[5 + F_ROWS:5 + F_ROWS + hp])
-        F2, I2, R2 = run_kernel(F2, I2, R2)
+        F2, I2, R2, T2 = run_kernel(F2, I2, R2)
+        if record_traversed:
+            trav_acc = trav_acc | T2.any(axis=0)
 
     # --- final unsort (one multi-operand co-sort keyed by slot id) ---
     ops = [sid_s] + [F2[i] for i in range(F_ROWS)] + [
@@ -698,10 +728,16 @@ def march_blockwise(
                        R.hit_draws(key, hptr).astype(dtype), dtype(0.5))
         hits = HitRecords(vid=hvid, u=hu, flip=hflip, count=count[:n])
 
+    if record_traversed:
+        # [czp, cxyp] bitmask -> flat chunk order (cx*CY + cy major, cz minor)
+        trav = trav_acc[:CZ, :CX * CY].T.reshape(-1)
+    else:
+        trav = jnp.zeros((spec.num_chunks,), bool)
+
     state = _State(
         pos=pos, vel=vel, color=color, energy=energy, step=step, life=life,
         bounces=bounces, alive=alive, cmin=cmin, cmax=cmax, cres=cres,
-        ptr=ptr[:n], traversed=jnp.zeros((spec.num_chunks,), bool),
+        ptr=ptr[:n], traversed=trav,
         it=jnp.zeros((), jnp.int32), hits=hits)
 
     if cleanup:
@@ -710,5 +746,6 @@ def march_blockwise(
         _, state = march(
             settings, spec, arrays, RayBatch(state.pos, state.vel, state.life),
             key=key, programs_used=programs_used, background=background,
-            mode="while", record_hits=H, resume_state=state, finalize=False)
+            mode="while", record_hits=H, record_traversed=record_traversed,
+            resume_state=state, finalize=False)
     return finalize_background(settings, state, background)

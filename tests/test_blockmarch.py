@@ -178,3 +178,21 @@ def test_blockmarch_supersteps_unroll_exact(scene):
                           record_hits=16, supersteps=3, ep_cap=4,
                           inner_cap=10, unroll=2, interpret=True)
     _assert_same(ref, out)
+
+
+def test_blockmarch_traversed_matches(scene):
+    """In-kernel traversed-chunk feedback (culling loop input) must equal
+    the XLA march's recording."""
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(31)
+    rays = _rays(st, cam_pos, cam_rot, 1024, key)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used,
+                record_traversed=True)
+    out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                          background="sky", programs_used=cs.programs_used,
+                          record_traversed=True, supersteps=2, ep_cap=8,
+                          interpret=True)
+    _assert_same(ref, out, hits=False)
+    np.testing.assert_array_equal(np.asarray(ref.traversed),
+                                  np.asarray(out.traversed))
