@@ -21,6 +21,9 @@ def main():
                          "per-phase ms) every EVERY frames")
     ap.add_argument("--metrics-file", default=None,
                     help="metric log path (default stdout)")
+    ap.add_argument("--block", action="store_true",
+                    help="render through the Pallas blockwise kernel "
+                         "(TPU f32 fast path)")
     args = ap.parse_args()
 
     from python_raytracer_tpu.modapi import load_mod
@@ -32,7 +35,8 @@ def main():
         from python_raytracer_tpu.utils.metrics import MetricLog
 
         metrics = MetricLog(args.metrics_file)
-    engine = Engine(scene, metrics=metrics, metrics_every=args.metrics)
+    engine = Engine(scene, metrics=metrics, metrics_every=args.metrics,
+                    block=args.block)
 
     if args.headless:
         import numpy as np

@@ -146,6 +146,7 @@ def render_frame(
     dtype=jnp.float32,
     programs_used=(0,),
     with_stats: bool = False,
+    block_kw: Optional[dict] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render one frame.
 
@@ -154,16 +155,31 @@ def render_frame(
     values (as floats). ``with_stats`` appends (mean_steps, mean_bounces)
     device scalars — the reference's per-ray cost telemetry (init.py:55-57)
     aggregated on device for the Engine's metrics (utils/metrics.py).
+    ``mode="block"`` marches through the Pallas kernel
+    (ops/blockmarch.py; f32 key-RNG only) with ``block_kw`` tuning.
     """
     rays, march_kw, active, samples_px = _prepare_frame_rays(
         settings, cam_pos, cam_rot, lens, tape, key, dtype
     )
-    res = march(
-        settings, spec, arrays, rays,
-        background=background, mode=mode,
-        record_traversed=record_traversed, programs_used=programs_used,
-        **march_kw,
-    )
+    if mode == "block":
+        from python_raytracer_tpu.ops.blockmarch import march_blockwise
+
+        if march_kw.get("tape") is not None:
+            raise ValueError("block mode is key-RNG only (no tape)")
+        res = march_blockwise(
+            settings, spec, arrays,
+            RayBatch(*(x.astype(jnp.float32) for x in rays)),
+            key=march_kw["key"], background=background,
+            record_traversed=record_traversed, programs_used=programs_used,
+            **(block_kw or {}),
+        )
+    else:
+        res = march(
+            settings, spec, arrays, rays,
+            background=background, mode=mode,
+            record_traversed=record_traversed, programs_used=programs_used,
+            **march_kw,
+        )
     image = _resolve_samples(settings, res, active, samples_px, dtype)
     out = (image, res.traversed.reshape(spec.chunk_shape))
     if with_stats:

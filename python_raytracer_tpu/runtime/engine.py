@@ -60,7 +60,7 @@ class Engine:
     def __init__(self, scene: Scene, margin_chunks: int = 2, dtype=jnp.float32,
                  key: Optional[jax.Array] = None, pipeline: Optional[bool] = None,
                  compact: bool = False, metrics: Optional[MetricLog] = None,
-                 metrics_every: int = 0):
+                 metrics_every: int = 0, block: bool = False):
         self.scene = scene
         self.settings: Settings = scene.settings
         st = self.settings
@@ -112,12 +112,17 @@ class Engine:
                 )
             )
         else:
+            # block=True renders through the Pallas kernel
+            # (ops/blockmarch.py; TPU f32, key-RNG — not static/tape mode)
+            if block and (st.static or dtype != jnp.float32):
+                raise ValueError("block rendering needs f32 + static=false")
             self._render = jax.jit(
                 lambda arrays, cam_pos, cam_rot, lens, key: render_frame(
                     st, self.compiled.spec, arrays, cam_pos, cam_rot, lens,
                     key=key, tape=self._static_tape,
                     background=self.compiled.background or "sky",
-                    mode="while", record_traversed=True, dtype=dtype,
+                    mode="block" if block else "while",
+                    record_traversed=True, dtype=dtype,
                     programs_used=self.compiled.programs_used,
                     with_stats=self.metrics_every > 0,
                 )

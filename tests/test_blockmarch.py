@@ -196,3 +196,34 @@ def test_blockmarch_traversed_matches(scene):
     _assert_same(ref, out, hits=False)
     np.testing.assert_array_equal(np.asarray(ref.traversed),
                                   np.asarray(out.traversed))
+
+
+def test_engine_block_frames_match():
+    """Engine(block=True) frames equal Engine() frames (f32, key RNG, full
+    culling-feedback loop through the in-kernel traversed recording)."""
+    from python_raytracer_tpu.models.default import build_default_scene, default_settings
+    from python_raytracer_tpu.ops import blockmarch as B
+    from python_raytracer_tpu.runtime.engine import Engine
+
+    st = default_settings().replace(width=16, height=12, samples=1,
+                                    gravity=0.0, dof=0.0, lod_random=0.0,
+                                    static=False, exact=False)
+
+    orig = B.march_blockwise
+
+    def interp(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    B.march_blockwise = interp
+    try:
+        e_ref = Engine(build_default_scene(st), pipeline=False)
+        e_blk = Engine(build_default_scene(st), pipeline=False, block=True)
+        for fi in range(4):
+            a = e_ref.step(1 / 24)
+            b = e_blk.step(1 / 24)
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {fi}")
+            np.testing.assert_array_equal(np.asarray(e_ref._traversed),
+                                          np.asarray(e_blk._traversed))
+    finally:
+        B.march_blockwise = orig
