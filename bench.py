@@ -231,31 +231,65 @@ def main():
 
         fn = jax.jit(jax.value_and_grad(forward, has_aux=True))
 
+    table = cs.arrays.material_table
+
+    def detail_base():
+        return {
+            "rays": n_rays, "fwd_only": fwd_only, "compact": compact,
+            "block": block, "block_kw": block_kw if block else None,
+            "ladder": ladder, "unroll": unroll, "degraded": degraded,
+            "health_matmul10_ms": round(health, 1),
+            "device": str(jax.devices()[0]),
+        }
+
     def fence(out):
         # block_until_ready is a no-op on axon (see _device_health_ms):
         # fence on a tiny data readback of the first output leaf.
         leaf = jax.tree_util.tree_leaves(out)[0]
         np.asarray(leaf.ravel()[:4])
 
-    table = cs.arrays.material_table
+    # Stage 1 (unless already the target): a fast-compiling fwd-only kernel
+    # measurement so the watchdog always holds a REAL number even if the
+    # fwd+bwd compile exceeds the deadline (compile is minutes cold; the
+    # persistent cache makes repeat runs fast).
+    if not fwd_only and not compact and block:
+        try:
+            from python_raytracer_tpu.ops.blockmarch import march_blockwise
+
+            def fwd1(table, rays):
+                arrays = dataclasses.replace(cs.arrays, material_table=table)
+                res = march_blockwise(st, cs.spec, arrays, rays, key=key,
+                                      background="sky",
+                                      programs_used=cs.programs_used,
+                                      **block_kw)
+                return jnp.mean(res.color / 255.0)
+
+            f1 = jax.jit(fwd1)
+            _BEST["detail"]["phase"] = "fwd-only-compile"
+            fence(f1(table, rays))
+            rtt = _rtt_ms()
+            t0 = time.time()
+            for _ in range(2):
+                out1 = f1(table, rays)
+            fence(out1)
+            dt1 = max(1e-9, (time.time() - t0) - rtt / 1e3) / 2
+            m1 = n_rays / dt1 / 1e6
+            _BEST.update(
+                metric="Mrays/s/chip FWD-ONLY on default scene "
+                       "(fwd+bwd did not finish in the deadline)",
+                value=round(m1, 4), vs_baseline=round(m1 / 100.0, 6),
+                detail={**detail_base(), "phase": "fwd-only-fallback",
+                        "sec_per_iter": round(dt1, 4)},
+            )
+        except Exception as e:  # fallback must never sink the bench
+            _BEST["detail"]["fwd_only_stage_error"] = repr(e)[:200]
+
     _BEST["detail"]["phase"] = "compile"
     t0 = time.time()
     fence(fn(table, rays))
     compile_s = time.time() - t0
 
-    detail = {
-        "rays": n_rays,
-        "compile_sec": round(compile_s, 1),
-        "fwd_only": fwd_only,
-        "compact": compact,
-        "block": block,
-        "block_kw": block_kw if block else None,
-        "ladder": ladder,
-        "unroll": unroll,
-        "degraded": degraded,
-        "health_matmul10_ms": round(health, 1),
-        "device": str(jax.devices()[0]),
-    }
+    detail = {**detail_base(), "compile_sec": round(compile_s, 1)}
 
     def measure(k):
         rtt = _rtt_ms()
@@ -274,12 +308,12 @@ def main():
     for k in (1, iters):
         dt, rtt, out = measure(k)
         mrays = n_rays / dt / 1e6
-        if mrays > _BEST["value"]:
-            _BEST.update(
-                value=round(mrays, 4), vs_baseline=round(mrays / 100.0, 6),
-                detail={**detail, "phase": "measured", "iters": k,
-                        "sec_per_iter": round(dt, 4), "rtt_ms": round(rtt, 1)},
-            )
+        _BEST.update(
+            metric="Mrays/s/chip fwd+bwd on default scene",
+            value=round(mrays, 4), vs_baseline=round(mrays / 100.0, 6),
+            detail={**detail, "phase": "measured", "iters": k,
+                    "sec_per_iter": round(dt, 4), "rtt_ms": round(rtt, 1)},
+        )
 
     # march cost telemetry (SURVEY.md §5.1: the per-ray step/bounce counters
     # the reference carries on the ray record, init.py:55-57)
