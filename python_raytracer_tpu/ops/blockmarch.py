@@ -165,7 +165,14 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                  record_hits: int, ep_cap: int, inner_cap: int,
                  czp: int, cxyp: int, kp: int, unroll: int = 1,
                  record_traversed: bool = False):
-    """Build the kernel body (all settings/geometry static)."""
+    """Build the kernel body (all settings/geometry static).
+
+    BM_ABL env flags (perf ablations — WRONG results, timing only):
+    nodma (skip block DMAs), nocell (skip the cell-word lookup matmuls),
+    nomat (skip the material fetch), norng (skip threefry draws).
+    """
+    import os as _os
+    _abl = set((_os.environ.get("BM_ABL") or "").split(","))
     cs = float(settings.chunk_size)
     csi = settings.chunk_size
     CX, CY, CZ = spec.chunk_shape
@@ -219,10 +226,11 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 vk = jnp.max(votekey[g * 256:(g + 1) * 256])
                 vote = jnp.where(vk >= 0, vk & 0xFFFFF, loaded[g * 256])
                 safe = jnp.clip(vote, 0, blocks_hbm.shape[0] - 1)
-                dma = pltpu.make_async_copy(blocks_hbm.at[safe], bufs.at[g],
-                                            sems.at[g])
-                dma.start()
-                dmas.append(dma)
+                if "nodma" not in _abl:
+                    dma = pltpu.make_async_copy(blocks_hbm.at[safe],
+                                                bufs.at[g], sems.at[g])
+                    dma.start()
+                    dmas.append(dma)
                 new_loaded = jnp.where(group_of == g, vote, new_loaded)
             for dma in dmas:
                 dma.wait()
@@ -323,13 +331,15 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 hi = cell >> 5
                 # per-group block lookup; results land in a scratch row
                 # (Mosaic has no 1-D vector concatenate)
-                for g in range(groups):
-                    sl = slice(g * 256, (g + 1) * 256)
-                    oh = _onehot_T(hi[sl], 128, 256)
-                    rows_T = jnp.dot(bufs[g], oh,
-                                     preferred_element_type=jnp.float32)
-                    picked[0, sl] = _sublane_pick(rows_T, lo[sl], 64, 256)
-                    picked[1, sl] = _sublane_pick(rows_T, lo[sl] + 32, 64, 256)
+                if "nocell" not in _abl:
+                    for g in range(groups):
+                        sl = slice(g * 256, (g + 1) * 256)
+                        oh = _onehot_T(hi[sl], 128, 256)
+                        rows_T = jnp.dot(bufs[g], oh,
+                                         preferred_element_type=jnp.float32)
+                        picked[0, sl] = _sublane_pick(rows_T, lo[sl], 64, 256)
+                        picked[1, sl] = _sublane_pick(rows_T, lo[sl] + 32,
+                                                      64, 256)
                 lo16 = picked[0, :]
                 hi16 = picked[1, :]
                 word = lo16.astype(jnp.int32) | (hi16.astype(jnp.int32) << 16)
@@ -340,8 +350,11 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
 
                 # 3. material program (PBR inline; ops/march.py step 3,
                 #    reference init.py:81-86 + lib.py:448-460)
-                mrows = jnp.dot(mat_ref[:], _onehot_T(vid, kp, w),
-                                preferred_element_type=jnp.float32)
+                if "nomat" in _abl:
+                    mrows = jnp.zeros((8, w), jnp.float32)
+                else:
+                    mrows = jnp.dot(mat_ref[:], _onehot_T(vid, kp, w),
+                                    preferred_element_type=jnp.float32)
                 alb_r, alb_g, alb_b = mrows[0], mrows[1], mrows[2]
                 rough, absorb, ior, menergy = (mrows[3], mrows[4], mrows[5],
                                                mrows[6])
@@ -362,8 +375,11 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                     return R.uniform3_parts(n1, n2)
 
                 half = jnp.full((w,), 0.5, jnp.float32)
-                u0, u1, u2 = jax.lax.cond(jnp.any(need_draw), draws,
-                                          lambda _: (half, half, half), 0)
+                if "norng" in _abl:
+                    u0, u1, u2 = half, half, half
+                else:
+                    u0, u1, u2 = jax.lax.cond(jnp.any(need_draw), draws,
+                                              lambda _: (half, half, half), 0)
                 u0 = jnp.where(need_draw, u0, 0.5)
                 u1 = jnp.where(need_draw, u1, 0.5)
                 u2 = jnp.where(need_draw, u2, 0.5)
