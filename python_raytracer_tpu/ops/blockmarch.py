@@ -330,16 +330,25 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 lo = cell & 31
                 hi = cell >> 5
                 # per-group block lookup; results land in a scratch row
-                # (Mosaic has no 1-D vector concatenate)
+                # (Mosaic has no 1-D vector concatenate). Groups with no
+                # lane needing a word skip their matmul entirely — stale
+                # scratch values are safe because inactive lanes' words are
+                # masked to 0 below. This is the dominant per-trip cost, and
+                # in diverged tiles most group-trips are inactive.
+                need_word = active & (cres > 0) & in_content
                 if "nocell" not in _abl:
                     for g in range(groups):
                         sl = slice(g * 256, (g + 1) * 256)
-                        oh = _onehot_T(hi[sl], 128, 256)
-                        rows_T = jnp.dot(bufs[g], oh,
-                                         preferred_element_type=jnp.float32)
-                        picked[0, sl] = _sublane_pick(rows_T, lo[sl], 64, 256)
-                        picked[1, sl] = _sublane_pick(rows_T, lo[sl] + 32,
-                                                      64, 256)
+
+                        @pl.when(jnp.any(need_word[sl]))
+                        def _(g=g, sl=sl):
+                            oh = _onehot_T(hi[sl], 128, 256)
+                            rows_T = jnp.dot(bufs[g], oh,
+                                             preferred_element_type=jnp.float32)
+                            picked[0, sl] = _sublane_pick(rows_T, lo[sl],
+                                                          64, 256)
+                            picked[1, sl] = _sublane_pick(rows_T, lo[sl] + 32,
+                                                          64, 256)
                 lo16 = picked[0, :]
                 hi16 = picked[1, :]
                 word = lo16.astype(jnp.int32) | (hi16.astype(jnp.int32) << 16)

@@ -42,11 +42,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--save-dir", default=None)
     ap.add_argument("--small", action="store_true", help="quarter resolution (CI)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon sitecustomize "
+                         "ignores JAX_PLATFORMS; --small implies --cpu)")
     args = ap.parse_args()
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
 
     import jax
+
+    if args.cpu or args.small:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from python_raytracer_tpu.models.default import build_default_scene, default_settings
