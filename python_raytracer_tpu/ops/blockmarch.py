@@ -221,19 +221,25 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
             needing = alive & (cres > 0) & (page != loaded)
             votekey = jnp.where(needing, (stall << 20) | page, -1)
             new_loaded = loaded
-            dmas = []
+            fetches = []
             for g in range(groups):
                 vk = jnp.max(votekey[g * 256:(g + 1) * 256])
                 vote = jnp.where(vk >= 0, vk & 0xFFFFF, loaded[g * 256])
                 safe = jnp.clip(vote, 0, blocks_hbm.shape[0] - 1)
+                pred = vk >= 0  # groups with no waiting lane skip the fetch
                 if "nodma" not in _abl:
-                    dma = pltpu.make_async_copy(blocks_hbm.at[safe],
-                                                bufs.at[g], sems.at[g])
-                    dma.start()
-                    dmas.append(dma)
+                    fetches.append((g, pred, safe))
+
+                    @pl.when(pred)
+                    def _(g=g, safe=safe):
+                        pltpu.make_async_copy(blocks_hbm.at[safe], bufs.at[g],
+                                              sems.at[g]).start()
                 new_loaded = jnp.where(group_of == g, vote, new_loaded)
-            for dma in dmas:
-                dma.wait()
+            for g, pred, safe in fetches:
+                @pl.when(pred)
+                def _(g=g, safe=safe):
+                    pltpu.make_async_copy(blocks_hbm.at[safe], bufs.at[g],
+                                          sems.at[g]).wait()
             loaded = new_loaded
 
             # --- inner march loop: lanes in a loaded chunk or in void ---
