@@ -363,16 +363,9 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 vid = word & C.WORD_ID_MASK
                 hit = vid > 0
 
-                # 3. material program (PBR inline; ops/march.py step 3,
-                #    reference init.py:81-86 + lib.py:448-460)
-                if "nomat" in _abl:
-                    mrows = jnp.zeros((8, w), jnp.float32)
-                else:
-                    mrows = jnp.dot(mat_ref[:], _onehot_T(vid, kp, w),
-                                    preferred_element_type=jnp.float32)
-                alb_r, alb_g, alb_b = mrows[0], mrows[1], mrows[2]
-                rough, absorb, ior, menergy = (mrows[3], mrows[4], mrows[5],
-                                               mrows[6])
+                # 3+4. material program + IOR reflection (ops/march.py steps
+                # 3-4, reference init.py:81-111), the whole shading chain
+                # gated on any lane hitting this trip — most trips have none
                 color_r = F_out[_F_COLOR]
                 color_g = F_out[_F_COLOR + 1]
                 color_b = F_out[_F_COLOR + 2]
@@ -381,89 +374,106 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 life = F_out[_F_LIFE]
                 bounces = F_out[_F_BOUNCES]
                 ptr = I_out[_I_PTR]
+                zero_i = jnp.zeros((w,), jnp.int32)
 
-                has_rough = ((word >> C.WORD_ROUGH_SHIFT) & 1) > 0
-                need_draw = hit & has_rough
+                def shade(_):
+                    if "nomat" in _abl:
+                        mrows = jnp.zeros((8, w), jnp.float32)
+                    else:
+                        mrows = jnp.dot(mat_ref[:], _onehot_T(vid, kp, w),
+                                        preferred_element_type=jnp.float32)
+                    alb_r, alb_g, alb_b = mrows[0], mrows[1], mrows[2]
+                    rough, absorb, ior, menergy = (mrows[3], mrows[4],
+                                                   mrows[5], mrows[6])
+                    has_rough = ((word >> C.WORD_ROUGH_SHIFT) & 1) > 0
+                    need_draw = hit & has_rough
 
-                def draws(_):
-                    n1, n2 = R.fold_in_pair(k1, k2, ptr)
-                    return R.uniform3_parts(n1, n2)
+                    def draws(_):
+                        n1, n2 = R.fold_in_pair(k1, k2, ptr)
+                        return R.uniform3_parts(n1, n2)
 
-                half = jnp.full((w,), 0.5, jnp.float32)
-                if "norng" in _abl:
-                    u0, u1, u2 = half, half, half
-                else:
-                    u0, u1, u2 = jax.lax.cond(jnp.any(need_draw), draws,
-                                              lambda _: (half, half, half), 0)
-                u0 = jnp.where(need_draw, u0, 0.5)
-                u1 = jnp.where(need_draw, u1, 0.5)
-                u2 = jnp.where(need_draw, u2, 0.5)
+                    half = jnp.full((w,), 0.5, jnp.float32)
+                    if "norng" in _abl:
+                        u0, u1, u2 = half, half, half
+                    else:
+                        u0, u1, u2 = jax.lax.cond(
+                            jnp.any(need_draw), draws,
+                            lambda _: (half, half, half), 0)
+                    u0 = jnp.where(need_draw, u0, 0.5)
+                    u1 = jnp.where(need_draw, u1, 0.5)
+                    u2 = jnp.where(need_draw, u2, 0.5)
 
-                absb = jnp.minimum(
-                    1.0, absorb / (1.0 + bounces) ** falloff_e)
-                n_color_r = color_r * (1 - absb) + alb_r * absb
-                n_color_g = color_g * (1 - absb) + alb_g * absb
-                n_color_b = color_b * (1 - absb) + alb_b * absb
-                n_energy = energy * (1 - absb) + menergy * absb
-                n_life = life * (1.0 - rough * absb)
-                n_vx = vx + (-1.0 + u0 * 2.0) * rough
-                n_vy = vy + (-1.0 + u1 * 2.0) * rough
-                n_vz = vz + (-1.0 + u2 * 2.0) * rough
-                bounce = absorb
+                    absb = jnp.minimum(
+                        1.0, absorb / (1.0 + bounces) ** falloff_e)
+                    cr = jnp.where(hit, color_r * (1 - absb) + alb_r * absb,
+                                   color_r)
+                    cg = jnp.where(hit, color_g * (1 - absb) + alb_g * absb,
+                                   color_g)
+                    cb = jnp.where(hit, color_b * (1 - absb) + alb_b * absb,
+                                   color_b)
+                    en = jnp.where(hit, energy * (1 - absb) + menergy * absb,
+                                   energy)
+                    bounce = absorb
+                    lf = jnp.where(hit, life * (1.0 - rough * absb), life)
+                    nvx = jnp.where(hit, vx + (-1.0 + u0 * 2.0) * rough, vx)
+                    nvy = jnp.where(hit, vy + (-1.0 + u1 * 2.0) * rough, vy)
+                    nvz = jnp.where(hit, vz + (-1.0 + u2 * 2.0) * rough, vz)
+                    bo = jnp.where(hit, bounces + bounce, bounces)
+                    cresf = cres.astype(jnp.float32)
+                    lf = jnp.where(hit, lf / (cresf + bounce * lod_bounces),
+                                   lf)
+                    # Chebyshev renormalize (utils/mathutils.py)
+                    ref = jnp.maximum(jnp.maximum(jnp.abs(nvx), jnp.abs(nvy)),
+                                      jnp.abs(nvz))
+                    refs = jnp.where(ref != 0, ref, 1.0)
+                    nvx = jnp.where(hit & (ref != 0), nvx / refs, nvx)
+                    nvy = jnp.where(hit & (ref != 0), nvy / refs, nvy)
+                    nvz = jnp.where(hit & (ref != 0), nvz / refs, nvz)
 
-                color_r = jnp.where(hit, n_color_r, color_r)
-                color_g = jnp.where(hit, n_color_g, color_g)
-                color_b = jnp.where(hit, n_color_b, color_b)
-                energy = jnp.where(hit, n_energy, energy)
-                life = jnp.where(hit, n_life, life)
-                vx = jnp.where(hit, n_vx, vx)
-                vy = jnp.where(hit, n_vy, vy)
-                vz = jnp.where(hit, n_vz, vz)
-                bounces = jnp.where(hit, bounces + bounce, bounces)
-                cresf = cres.astype(jnp.float32)
-                life = jnp.where(
-                    hit, life / (cresf + bounce * lod_bounces), life)
-                # Chebyshev renormalize (utils/mathutils.py cheb_normalize)
-                ref = jnp.maximum(jnp.maximum(jnp.abs(vx), jnp.abs(vy)),
-                                  jnp.abs(vz))
-                refs = jnp.where(ref != 0, ref, 1.0)
-                vx = jnp.where(hit, jnp.where(ref != 0, vx / refs, vx), vx)
-                vy = jnp.where(hit, jnp.where(ref != 0, vy / refs, vy), vy)
-                vz = jnp.where(hit, jnp.where(ref != 0, vz / refs, vz), vz)
+                    term = hit & ((step >= lf) | (en >= max_light)
+                                  | (bo >= max_b))
+                    iorcls = (word >> C.WORD_IORCLS_SHIFT) & C.WORD_IORCLS_MASK
+                    do_ior = hit & ~term & (iorcls != 0)
+                    direction = (ior - 0.5) * 2.0
+                    flips = []
+                    for ax, v_ax in enumerate((nvx, nvy, nvz)):
+                        bit = C.WORD_FACE_SHIFT + ax * 2
+                        toward = v_ax < direction
+                        f = jnp.where(toward, (word >> bit) & 1,
+                                      (word >> (bit + 1)) & 1)
+                        flips.append(f > 0)
+                    nvx = jnp.where(do_ior & flips[0], nvx - nvx * ior * 2.0,
+                                    nvx)
+                    nvy = jnp.where(do_ior & flips[1], nvy - nvy * ior * 2.0,
+                                    nvy)
+                    nvz = jnp.where(do_ior & flips[2], nvz - nvz * ior * 2.0,
+                                    nvz)
+                    fb = jnp.where(do_ior, (
+                        flips[0].astype(jnp.int32)
+                        | (flips[1].astype(jnp.int32) << 1)
+                        | (flips[2].astype(jnp.int32) << 2)), 0)
+                    return (cr, cg, cb, en, lf, nvx, nvy, nvz, bo,
+                            term.astype(jnp.int32), fb,
+                            need_draw.astype(jnp.int32))
+
+                any_hit = jnp.any(hit)
+                (color_r, color_g, color_b, energy, life, vx, vy, vz,
+                 bounces, term_i, fb, need_draw_i) = jax.lax.cond(
+                    any_hit, shade,
+                    lambda _: (color_r, color_g, color_b, energy, life,
+                               vx, vy, vz, bounces, zero_i, zero_i, zero_i),
+                    0)
+                term = term_i > 0
                 ptr_pre = ptr
                 ptr = ptr + active.astype(jnp.int32)
-
-                term = hit & ((step >= life) | (energy >= max_light)
-                              | (bounces >= max_b))
-
-                # 4. IOR face reflection (ops/march.py step 4,
-                #    reference init.py:88-111)
-                iorcls = (word >> C.WORD_IORCLS_SHIFT) & C.WORD_IORCLS_MASK
-                do_ior = hit & ~term & (iorcls != 0)
-                direction = (ior - 0.5) * 2.0
-                flips = []
-                for ax, v_ax in enumerate((vx, vy, vz)):
-                    bit = C.WORD_FACE_SHIFT + ax * 2
-                    toward = v_ax < direction
-                    f = jnp.where(toward, (word >> bit) & 1,
-                                  (word >> (bit + 1)) & 1)
-                    flips.append(f > 0)
-                vx = jnp.where(do_ior & flips[0], vx - vx * ior * 2.0, vx)
-                vy = jnp.where(do_ior & flips[1], vy - vy * ior * 2.0, vy)
-                vz = jnp.where(do_ior & flips[2], vz - vz * ior * 2.0, vz)
 
                 # hit record (packed; u regenerated outside the kernel)
                 count = I_out[_I_COUNT]
                 if H:
-                    @pl.when(jnp.any(hit))
+                    @pl.when(any_hit)
                     def _():
-                        fb = jnp.where(do_ior, (
-                            flips[0].astype(jnp.int32)
-                            | (flips[1].astype(jnp.int32) << 1)
-                            | (flips[2].astype(jnp.int32) << 2)), 0)
                         rec = (vid | (fb << _REC_FLIP_SHIFT)
-                               | ((need_draw.astype(jnp.int32))
-                                  << _REC_ROUGH_SHIFT)
+                               | (need_draw_i << _REC_ROUGH_SHIFT)
                                | (ptr_pre << _REC_PTR_SHIFT))
                         rows = jax.lax.broadcasted_iota(
                             jnp.int32, (H, w), 0)
