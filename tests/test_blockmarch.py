@@ -227,3 +227,39 @@ def test_engine_block_frames_match():
                                           np.asarray(e_blk._traversed))
     finally:
         B.march_blockwise = orig
+
+
+@pytest.mark.parametrize("seed", [0, 7, 11])
+def test_blockmarch_random_scenes(seed, tmp_path):
+    """Kernel vs XLA march on RANDOMIZED scenes (tools/differential.py
+    generator): coverage beyond the default castle — random materials,
+    IOR classes, roughness flags, rotations, sprite LODs."""
+    import os
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from differential import gen_mod
+
+    from python_raytracer_tpu.modapi import load_mod
+    from python_raytracer_tpu.scene.compile import compile_scene as _compile
+
+    root = str(tmp_path)
+    gen_mod(seed, os.path.join(root, "mods", f"rand{seed}"))
+    scene = load_mod(f"rand{seed}", mods_root=os.path.join(root, "mods"))
+    st = scene.settings.replace(exact=False, static=False)
+    scene.settings = st
+    cam_pos = np.array(scene.player.cam_pos, np.float32)
+    cam_rot = np.array(scene.player.cam_rot, np.float32)
+    cs = _compile(scene, cam_pos=cam_pos)
+    if tuple(cs.programs_used) != (0,):
+        pytest.skip("kernel falls back to XLA for multi-program scenes")
+
+    key = jax.random.PRNGKey(seed)
+    rays = _rays(st, cam_pos, cam_rot, 1024, key)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used, record_hits=16)
+    out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                          background="sky", programs_used=cs.programs_used,
+                          record_hits=16, interpret=True)
+    _assert_same(ref, out)
