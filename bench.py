@@ -220,8 +220,11 @@ def main():
     else:
         from python_raytracer_tpu.ops.diff import make_diff_renderer
 
+        # 12 hits provably cannot overflow on the stock scene (ops/diff.py:
+        # max_bounces=2 with min absorption 0.25 terminates below 12)
         renderer = make_diff_renderer(
-            st, cs.spec, max_hits=16, programs_used=cs.programs_used,
+            st, cs.spec, max_hits=int(os.environ.get("BENCH_MAX_HITS", "12")),
+            programs_used=cs.programs_used,
             forward="block" if block else ("ladder" if ladder else "while"),
             with_stats=True, block_kw=block_kw)
 
