@@ -35,10 +35,14 @@ tools/skeleton_kernel.py, upgraded to full march semantics):
   the recorded progress counter via utils/rng.py (bit-exact threefry
   replica), so the backward's HitRecords tape is byte-identical to the XLA
   march's and the hit-replay VJP (ops/diff.py) is reused unchanged.
-* host side does exactly TWO multi-operand co-sorts: one initial sort by
+* host side does few multi-operand co-sorts: one initial sort by
   (starting chunk, direction octant) for coherence, one final unsort by
-  slot id. After the kernel an XLA cleanup march finishes any ray the
-  static episode/iteration caps under-provisioned for, so the result is
+  slot id, and optionally one compaction re-sort per extra superstep
+  (dead lanes to the back, survivors grouped by needed page). Per-group
+  gating skips block DMAs and cell-lookup matmuls for groups with no
+  waiting/needing lane, and the whole shading chain is gated on any-hit.
+  After the kernel an XLA cleanup march finishes any ray the static
+  episode/iteration caps under-provisioned for, so the result is
   bit-exact vs ``march(mode="while")`` for EVERY input, not just typical
   ones (tests/test_blockmarch.py).
 
