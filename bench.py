@@ -104,14 +104,12 @@ def main():
     _arm_watchdog(float(os.environ.get("BENCH_DEADLINE_SEC", "330")))
     import jax
 
-    # Persistent compilation cache: the march compiles in ~1-3 min on TPU;
-    # repeat bench runs should not pay that again (the repo warms this cache
-    # at commit time so the driver's run hits it).
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
+    # Persistent compilation cache: the march compiles in ~2.5-4 min on TPU;
+    # repeat bench runs should not pay that again. Repo-local (.jax_cache)
+    # because /tmp does not survive machine restarts — warmed by running
+    # bench.py once after compute-path changes.
+    from python_raytracer_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     # Health-gate: wait (bounded, short) for the device to leave a degraded

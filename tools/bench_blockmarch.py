@@ -44,7 +44,8 @@ def time_iters(fn, args, iters):
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from python_raytracer_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     from python_raytracer_tpu.models.default import build_default_scene, default_settings

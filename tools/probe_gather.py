@@ -33,7 +33,8 @@ def t(fn, *a, iters=5):
 def main():
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from python_raytracer_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
 
     N = 393216
     T = 36

@@ -34,7 +34,8 @@ def t(fn, *a, iters=5):
 def main():
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from python_raytracer_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     from python_raytracer_tpu.models.default import build_default_scene, default_settings

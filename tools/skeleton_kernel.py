@@ -93,7 +93,8 @@ def kernel(state_ref, blocks_hbm, out_ref, block_vmem, sem):
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from python_raytracer_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     n = int(os.environ.get("SKEL_N", str(256 * 1536)))
     T = n // R
     rng = np.random.default_rng(0)

@@ -30,7 +30,8 @@ def rtt_ms(reps=3):
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from python_raytracer_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     from python_raytracer_tpu.models.default import build_default_scene, default_settings
     from python_raytracer_tpu.ops.camera import generate_rays, pixel_grid
     from python_raytracer_tpu.ops.march import RayBatch

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from python_raytracer_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     assert jax.default_backend() == "tpu", jax.default_backend()
     failures = 0
 
