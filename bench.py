@@ -154,6 +154,7 @@ def main():
         ep_cap=int(os.environ.get("BENCH_EP_CAP", "32")),
         inner_cap=int(os.environ.get("BENCH_INNER_CAP", "24")),
         unroll=int(os.environ.get("BENCH_BLOCK_UNROLL", "1")),
+        byte_planes=os.environ.get("BENCH_BYTE_PLANES", "0") == "1",
     )
 
     st = default_settings().replace(exact=False, static=False)

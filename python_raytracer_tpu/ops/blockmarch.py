@@ -93,6 +93,8 @@ F_ROWS = 16
 _I_FLAGS = 0    # alive | has_box<<1 | cres<<2 | stall<<5 | page<<9
 _I_PTR = 1
 _I_COUNT = 2
+_I_TRIPS = 3    # telemetry: inner-loop trips this tile paid (same all lanes)
+_I_EPS = 4      # telemetry: episodes this tile paid (same all lanes)
 I_ROWS = 8
 
 _FLAG_ALIVE = 1
@@ -113,11 +115,19 @@ def _pad_to(x, mult):
     return -(-x // mult) * mult
 
 
-def pack_blocks(spec: GridSpec, cell_word, chunk_res):
-    """cell_word flat [X*Y*Z] -> (blocks [C, 64, 128] f32, coarse f32).
+def pack_blocks(spec: GridSpec, cell_word, chunk_res, byte_planes=False):
+    """cell_word flat [X*Y*Z] -> (blocks, coarse f32).
 
-    blocks[c, lo, hi] = low 16 bits of the word of local cell hi*32+lo;
-    blocks[c, 32+lo, hi] = high 15 bits (bit 31 unused by the layout).
+    Default (f32 halves): blocks [C, 64, 128] f32 — blocks[c, lo, hi] = low
+    16 bits of the word of local cell hi*32+lo; blocks[c, 32+lo, hi] = high
+    15 bits (bit 31 unused by the layout).
+
+    ``byte_planes``: blocks [C, 4, 32, 128] bf16 — plane b holds byte b of
+    the word (0..255, exactly representable in bf16). Same lookup exactness
+    as the f32 halves (a one-hot contraction sums exactly one exact product)
+    but the MXU runs native single-pass bf16 instead of the 3-pass f32
+    decomposition, and the HBM->VMEM block DMA halves to 16 KiB/chunk.
+
     coarse[cz, cx*CY+cy] = chunk_res | chunk_flat<<3 (exact in f32: <= 2^24).
     Jittable; rebuilt on bake updates (cheap reshapes, no gathers).
     """
@@ -128,9 +138,14 @@ def pack_blocks(spec: GridSpec, cell_word, chunk_res):
     w = cell_word.reshape(CX, cs, CY, cs, CZ, cs)
     w = w.transpose(0, 2, 4, 1, 3, 5).reshape(CX * CY * CZ, 128, 32)
     w = w.transpose(0, 2, 1)  # [C, lo, hi]
-    lo16 = (w & 0xFFFF).astype(jnp.float32)
-    hi16 = ((w >> 16) & 0x7FFF).astype(jnp.float32)
-    blocks = jnp.concatenate([lo16, hi16], axis=1)  # [C, 64, 128]
+    if byte_planes:
+        blocks = jnp.stack(
+            [((w >> (8 * b)) & 0xFF).astype(jnp.bfloat16) for b in range(4)],
+            axis=1)  # [C, 4, lo, hi]
+    else:
+        lo16 = (w & 0xFFFF).astype(jnp.float32)
+        hi16 = ((w >> 16) & 0x7FFF).astype(jnp.float32)
+        blocks = jnp.concatenate([lo16, hi16], axis=1)  # [C, 64, 128]
 
     flat = jnp.arange(CX * CY * CZ, dtype=jnp.int32)
     cword = chunk_res.astype(jnp.int32) | (flat << 3)
@@ -152,11 +167,11 @@ def pack_mat_rows(table):
     return out.at[:7, :k].set(table.astype(jnp.float32).T[jnp.array(perm)])
 
 
-def _onehot_T(idx, k, w):
-    """[k, w] f32 one-hot of per-lane indices ``idx`` [w] (no match -> zero
+def _onehot_T(idx, k, w, dtype=jnp.float32):
+    """[k, w] one-hot of per-lane indices ``idx`` [w] (no match -> zero
     column). Broadcast across sublanes is free; compare against sublane iota."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (k, w), 0)
-    return (rows == idx[None, :]).astype(jnp.float32)
+    return (rows == idx[None, :]).astype(dtype)
 
 
 def _sublane_pick(rows_T, idx, k, w):
@@ -168,7 +183,7 @@ def _sublane_pick(rows_T, idx, k, w):
 def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                  record_hits: int, ep_cap: int, inner_cap: int,
                  czp: int, cxyp: int, kp: int, unroll: int = 1,
-                 record_traversed: bool = False):
+                 record_traversed: bool = False, byte_planes: bool = False):
     """Build the kernel body (all settings/geometry static).
 
     BM_ABL env flags (perf ablations — WRONG results, timing only):
@@ -352,16 +367,33 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
 
                         @pl.when(jnp.any(need_word[sl]))
                         def _(g=g, sl=sl):
-                            oh = _onehot_T(hi[sl], 128, 256)
-                            rows_T = jnp.dot(bufs[g], oh,
-                                             preferred_element_type=jnp.float32)
-                            picked[0, sl] = _sublane_pick(rows_T, lo[sl],
-                                                          64, 256)
-                            picked[1, sl] = _sublane_pick(rows_T, lo[sl] + 32,
-                                                          64, 256)
-                lo16 = picked[0, :]
-                hi16 = picked[1, :]
-                word = lo16.astype(jnp.int32) | (hi16.astype(jnp.int32) << 16)
+                            if byte_planes:
+                                # 4 single-pass bf16 byte-plane matmuls
+                                # (exact: bytes <= 255, one-hot contraction)
+                                oh = _onehot_T(hi[sl], 128, 256, jnp.bfloat16)
+                                for b in range(4):
+                                    rows_T = jnp.dot(
+                                        bufs[g, b], oh,
+                                        preferred_element_type=jnp.float32)
+                                    picked[b, sl] = _sublane_pick(
+                                        rows_T, lo[sl], 32, 256)
+                            else:
+                                oh = _onehot_T(hi[sl], 128, 256)
+                                rows_T = jnp.dot(
+                                    bufs[g], oh,
+                                    preferred_element_type=jnp.float32)
+                                picked[0, sl] = _sublane_pick(rows_T, lo[sl],
+                                                              64, 256)
+                                picked[1, sl] = _sublane_pick(
+                                    rows_T, lo[sl] + 32, 64, 256)
+                if byte_planes:
+                    word = (picked[0, :].astype(jnp.int32)
+                            | (picked[1, :].astype(jnp.int32) << 8)
+                            | (picked[2, :].astype(jnp.int32) << 16)
+                            | (picked[3, :].astype(jnp.int32) << 24))
+                else:
+                    word = (picked[0, :].astype(jnp.int32)
+                            | (picked[1, :].astype(jnp.int32) << 16))
                 has_chunk = cres > 0
                 word = jnp.where(active & has_chunk & in_content, word, 0)
                 vid = word & C.WORD_ID_MASK
@@ -545,6 +577,11 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 I_out[_I_FLAGS] = nflags
                 I_out[_I_PTR] = ptr
                 I_out[_I_COUNT] = count
+                # telemetry: every lane carries its tile's paid-trip count, so
+                # sum(row)/w over all lanes = total trips across tiles (exact
+                # across superstep re-sorts because the sum is permutation-
+                # invariant and increments are uniform per tile)
+                I_out[_I_TRIPS] = I_out[_I_TRIPS] + 1
 
                 return jnp.any(alive & ((cres == 0) | (page == loaded)))
 
@@ -570,6 +607,7 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
             stall = jnp.minimum(stall + waiting.astype(jnp.int32), _STALL_MAX)
             I_out[_I_FLAGS] = ((flags & ~(_STALL_MAX << _STALL_SHIFT))
                                | (stall << _STALL_SHIFT))
+            I_out[_I_EPS] = I_out[_I_EPS] + 1
             return ep + 1, jnp.any(alive), loaded
 
         loaded0 = jnp.full((w,), -1, jnp.int32)
@@ -598,6 +636,8 @@ def march_blockwise(
     unroll: int = 1,
     cleanup: bool = True,
     interpret: bool = False,
+    return_trips: bool = False,
+    byte_planes: bool = False,
 ) -> MarchResult:
     """Bit-exact drop-in for ``march(mode="while")`` in key-RNG mode.
 
@@ -631,7 +671,8 @@ def march_blockwise(
     czp = _pad_to(CZ, 8)
     cxyp = _pad_to(CX * CY, 8)
 
-    blocks, coarse = pack_blocks(spec, arrays.cell_word, arrays.chunk_res)
+    blocks, coarse = pack_blocks(spec, arrays.cell_word, arrays.chunk_res,
+                                 byte_planes=byte_planes)
     mat8 = pack_mat_rows(arrays.material_table)
     kp = mat8.shape[1]
     k1, k2 = R.key_data_pair(key)
@@ -676,7 +717,8 @@ def march_blockwise(
 
     kernel = _make_kernel(settings, spec, w=w, record_hits=H, ep_cap=ep_cap,
                           inner_cap=inner_cap, czp=czp, cxyp=cxyp, kp=kp,
-                          unroll=unroll, record_traversed=record_traversed)
+                          unroll=unroll, record_traversed=record_traversed,
+                          byte_planes=byte_planes)
     grid = (npad // w,)
     state_spec = lambda rows: pl.BlockSpec((rows, w), lambda t, s: (0, t),
                                            memory_space=pltpu.VMEM)
@@ -701,9 +743,11 @@ def march_blockwise(
                            pl.BlockSpec((1, czp, cxyp), lambda t, s: (t, 0, 0),
                                         memory_space=pltpu.VMEM)],
                 scratch_shapes=[
-                    pltpu.VMEM((groups, 64, 128), jnp.float32),
+                    (pltpu.VMEM((groups, 4, 32, 128), jnp.bfloat16)
+                     if byte_planes else
+                     pltpu.VMEM((groups, 64, 128), jnp.float32)),
                     pltpu.SemaphoreType.DMA((groups,)),
-                    pltpu.VMEM((2, w), jnp.float32),
+                    pltpu.VMEM((4 if byte_planes else 2, w), jnp.float32),
                 ],
             ),
             out_shape=[
@@ -728,16 +772,21 @@ def march_blockwise(
                           ((_STALL_MAX - stall_f) << 24) | page_f,
                           jnp.int32(2 ** 30))
         ops = ([key_f, sid_s] + [F2[i] for i in range(F_ROWS)]
-               + [I2[i] for i in range(3)] + [R2[i] for i in range(hp)])
+               + [I2[i] for i in range(5)] + [R2[i] for i in range(hp)])
         out = jax.lax.sort(ops, dimension=0, is_stable=False, num_keys=1)
         sid_s = out[1]
         F2 = jnp.stack(out[2:2 + F_ROWS])
-        I2 = jnp.zeros((I_ROWS, npad), jnp.int32).at[:3].set(
-            jnp.stack(out[2 + F_ROWS:5 + F_ROWS]))
-        R2 = jnp.stack(out[5 + F_ROWS:5 + F_ROWS + hp])
+        I2 = jnp.zeros((I_ROWS, npad), jnp.int32).at[:5].set(
+            jnp.stack(out[2 + F_ROWS:7 + F_ROWS]))
+        R2 = jnp.stack(out[7 + F_ROWS:7 + F_ROWS + hp])
         F2, I2, R2, T2 = run_kernel(F2, I2, R2)
         if record_traversed:
             trav_acc = trav_acc | T2.any(axis=0)
+
+    # kernel-cost telemetry (see _I_TRIPS comment in the kernel): total
+    # inner trips / episodes paid across all tiles and supersteps
+    trips_total = jnp.sum(I2[_I_TRIPS]) // w
+    eps_total = jnp.sum(I2[_I_EPS]) // w
 
     # --- final unsort (one multi-operand co-sort keyed by slot id) ---
     ops = [sid_s] + [F2[i] for i in range(F_ROWS)] + [
@@ -793,4 +842,7 @@ def march_blockwise(
             key=key, programs_used=programs_used, background=background,
             mode="while", record_hits=H, record_traversed=record_traversed,
             resume_state=state, finalize=False)
-    return finalize_background(settings, state, background)
+    res = finalize_background(settings, state, background)
+    if return_trips:
+        return res, (trips_total, eps_total)
+    return res

@@ -68,10 +68,10 @@ def main():
         def run(table, rays, cfg=cfg):
             import dataclasses
             arr = dataclasses.replace(cs.arrays, material_table=table)
-            res = march_blockwise(st, cs.spec, arr, rays, key=key,
-                                  background="sky",
-                                  programs_used=cs.programs_used, **cfg)
-            return res.color, res.step
+            res, (trips, eps) = march_blockwise(
+                st, cs.spec, arr, rays, key=key, background="sky",
+                programs_used=cs.programs_used, return_trips=True, **cfg)
+            return res.color, res.step, trips, eps
 
         f = jax.jit(run)
         t0 = time.time()
@@ -84,7 +84,7 @@ def main():
             out = f(cs.arrays.material_table, rays)
         fence(out)
         dt = max(1e-9, (time.time() - t0) - r / 1e3) / iters
-        color, step = (np.asarray(x) for x in out)
+        color, step, trips, eps = (np.asarray(x) for x in out)
         if cfg.get("cleanup"):
             base = (color, step)
         stragglers = ""
@@ -92,7 +92,8 @@ def main():
             bad = int((np.abs(color - base[0]).max(axis=-1) > 0).sum())
             stragglers = f" stragglers={bad}"
         print(f"{cfg}: {dt*1e3:.2f} ms ({n/dt/1e6:.2f} Mrays/s fwd, "
-              f"compile {comp:.0f}s){stragglers}", flush=True)
+              f"compile {comp:.0f}s) trips={int(trips)} eps={int(eps)}"
+              f"{stragglers}", flush=True)
 
 
 if __name__ == "__main__":
