@@ -8,11 +8,15 @@ vs_baseline is value / 100.0 — the fraction of the BASELINE.json north star
 reference engine measures ~0.0063 Mrays/s forward-only on one CPU thread
 (BASELINE.md), so 1.0 here is ~7 orders of magnitude over the reference.
 
-The run is deadline-driven: a watchdog thread always prints a result line
-(the best measurement so far, or a zero-valued line flagged "timeout") and
-exits before BENCH_DEADLINE_SEC, so the driver's capture can never end up
-empty even if the axon tunnel hangs mid-readback (round 1 lesson:
-BENCH_r01.json was rc=124 with no number at all).
+The run is deadline-driven: a watchdog *process* (the parent) always prints
+a result line (the best measurement so far, or a zero-valued line flagged
+"timeout") and exits before BENCH_DEADLINE_SEC, so the driver's capture can
+never end up empty even if the axon tunnel hangs mid-readback (round 1
+lesson: BENCH_r01.json was rc=124 with no number at all). A watchdog
+*thread* is not enough: a hung tunnel RPC can freeze the whole interpreter
+(C call that never releases the GIL — observed round 2), so the device work
+runs in a child process whose best-so-far lines the parent collects; the
+parent shares no JAX state and cannot be frozen by the child's hang.
 
 Env knobs: BENCH_RAYS (batch size, default 393216), BENCH_ITERS (timed
 iterations, default 3), BENCH_FWD_ONLY=1 (skip backward),
@@ -23,12 +27,13 @@ import dataclasses
 import json
 import os
 import sys
-import threading
+
 import time
 
 import numpy as np
 
-# Best-known result, updated as phases complete; the watchdog prints this.
+# Best-known result, updated as phases complete; the parent prints the last
+# one it received if the child hangs or overruns the deadline.
 _BEST = {
     "metric": "Mrays/s/chip fwd+bwd on default scene",
     "value": 0.0,
@@ -36,27 +41,56 @@ _BEST = {
     "vs_baseline": 0.0,
     "detail": {"phase": "startup"},
 }
-_DONE = threading.Event()
 
 
 def _emit(result):
     print(json.dumps(result), flush=True)
 
 
-def _arm_watchdog(deadline_sec: float):
-    t_start = time.time()
+def _push_best():
+    """Child -> parent: stream the current best over stdout (the parent owns
+    the real stdout; these lines never reach the driver directly)."""
+    print(json.dumps({"event": "best", **_BEST}), flush=True)
 
-    def fire():
-        remaining = deadline_sec - (time.time() - t_start)
-        if _DONE.wait(timeout=max(0.5, remaining)):
-            return
-        _BEST["detail"]["timeout"] = True
-        _emit(_BEST)
-        os._exit(0)
 
-    th = threading.Thread(target=fire, daemon=True)
-    th.start()
-    return th
+def _parent(deadline_sec: float):
+    """Run the measurement in a child process; print the last best line it
+    produced by the deadline no matter what (hang, crash, overrun)."""
+    import selectors
+    import subprocess
+
+    t0 = time.time()
+    proc = subprocess.Popen(
+        [sys.executable, "-u", os.path.abspath(__file__)],
+        env={**os.environ, "_BENCH_CHILD": "1"},
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    best = dict(_BEST)
+    done = False
+    while time.time() - t0 < deadline_sec:
+        for _ in sel.select(timeout=1.0):
+            line = proc.stdout.readline()
+            if not line:
+                continue
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue
+            if obj.get("event") == "best":
+                obj.pop("event")
+                best = obj
+                print(json.dumps({"event": "progress", **best}),
+                      file=sys.stderr, flush=True)
+            elif obj.get("event") == "done":
+                done = True
+        if done or proc.poll() is not None:
+            break
+    if not done:
+        best.setdefault("detail", {})["timeout"] = True
+    if proc.poll() is None:
+        proc.kill()
+    _emit(best)
 
 
 def _device_health_ms():
@@ -101,7 +135,9 @@ def _rtt_ms(reps=3):
 
 
 def main():
-    _arm_watchdog(float(os.environ.get("BENCH_DEADLINE_SEC", "330")))
+    if os.environ.get("_BENCH_CHILD") != "1":
+        _parent(float(os.environ.get("BENCH_DEADLINE_SEC", "330")))
+        return
     import jax
 
     # Persistent compilation cache: the march compiles in ~2.5-4 min on TPU;
@@ -283,6 +319,7 @@ def main():
                 detail={**detail_base(), "phase": "fwd-only-fallback",
                         "sec_per_iter": round(dt1, 4)},
             )
+            _push_best()
         except Exception as e:  # fallback must never sink the bench
             _BEST["detail"]["fwd_only_stage_error"] = repr(e)[:200]
 
@@ -316,6 +353,7 @@ def main():
             detail={**detail, "phase": "measured", "iters": k,
                     "sec_per_iter": round(dt, 4), "rtt_ms": round(rtt, 1)},
         )
+        _push_best()
 
     # march cost telemetry (SURVEY.md §5.1: the per-ray step/bounce counters
     # the reference carries on the ray record, init.py:55-57)
@@ -328,8 +366,8 @@ def main():
         _BEST["detail"]["bounces_per_ray"] = round(float(aux[1]), 3)
         _BEST["detail"]["msteps_per_s"] = round(_BEST["value"] * spr, 1)
 
-    _DONE.set()
-    _emit(_BEST)
+    _push_best()
+    print(json.dumps({"event": "done"}), flush=True)
 
 
 if __name__ == "__main__":
