@@ -618,6 +618,18 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
     return kernel
 
 
+def blockmarch_supported(settings: Settings, spec: GridSpec,
+                         programs_used=(M.PROGRAM_PBR,), tape=None) -> bool:
+    """True when ``march_blockwise`` can serve this configuration (see its
+    docstring for the constraint list). Callers use this to fall back to the
+    XLA march for tape mode / custom material programs / exotic configs."""
+    return (not settings.exact
+            and tape is None
+            and tuple(programs_used) == (M.PROGRAM_PBR,)
+            and settings.march_steps >= settings.dist_max
+            and settings.chunk_size ** 3 == 4096)
+
+
 def march_blockwise(
     settings: Settings,
     spec: GridSpec,

@@ -162,10 +162,18 @@ def render_frame(
         settings, cam_pos, cam_rot, lens, tape, key, dtype
     )
     if mode == "block":
-        from python_raytracer_tpu.ops.blockmarch import march_blockwise
+        from python_raytracer_tpu.ops.blockmarch import (
+            blockmarch_supported,
+            march_blockwise,
+        )
 
-        if march_kw.get("tape") is not None:
-            raise ValueError("block mode is key-RNG only (no tape)")
+        if not blockmarch_supported(settings, spec, programs_used,
+                                    march_kw.get("tape")):
+            # graceful fallback: tape mode, custom material programs and
+            # exotic configs render through the XLA march (bit-identical
+            # semantics, slower) instead of erroring out of the kernel
+            mode = "while"
+    if mode == "block":
         res = march_blockwise(
             settings, spec, arrays,
             RayBatch(*(x.astype(jnp.float32) for x in rays)),

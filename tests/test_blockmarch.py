@@ -212,6 +212,24 @@ def test_blockmarch_traversed_matches(scene):
                                   np.asarray(out.traversed))
 
 
+def test_render_frame_block_falls_back_gracefully(scene):
+    """mode="block" with a config the kernel cannot serve (custom material
+    programs) must render through the XLA march, not raise."""
+    from python_raytracer_tpu.ops import programs as P
+    from python_raytracer_tpu.ops.render import render_frame
+
+    pid = P.register_program("blocktest_flat",
+                             lambda ray, mat, settings, u: ({}, mat.absorption))
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(2)
+    img_b, _ = render_frame(st, cs.spec, cs.arrays, cam_pos, cam_rot,
+                            key=key, mode="block",
+                            programs_used=(0, pid))  # kernel: PBR-only
+    img_w, _ = render_frame(st, cs.spec, cs.arrays, cam_pos, cam_rot,
+                            key=key, mode="while", programs_used=(0, pid))
+    np.testing.assert_array_equal(np.asarray(img_b), np.asarray(img_w))
+
+
 def test_engine_block_frames_match():
     """Engine(block=True) frames equal Engine() frames (f32, key RNG, full
     culling-feedback loop through the in-kernel traversed recording)."""
