@@ -183,12 +183,14 @@ def _sublane_pick(rows_T, idx, k, w):
 def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                  record_hits: int, ep_cap: int, inner_cap: int,
                  czp: int, cxyp: int, kp: int, unroll: int = 1,
-                 record_traversed: bool = False, byte_planes: bool = False):
+                 record_traversed: bool = False, byte_planes: bool = False,
+                 group_coarse: bool = False):
     """Build the kernel body (all settings/geometry static).
 
     BM_ABL env flags (perf ablations — WRONG results, timing only):
     nodma (skip block DMAs), nocell (skip the cell-word lookup matmuls),
-    nomat (skip the material fetch), norng (skip threefry draws).
+    nomat (skip the material fetch), norng (skip threefry draws),
+    nocoarse (skip the chunk-table lookup at chunk switches).
     """
     import os as _os
     _abl = set((_os.environ.get("BM_ABL") or "").split(","))
@@ -304,11 +306,47 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                     return cw & 7, cw >> 3, sx, sy, sz
 
                 any_switch = jnp.any(switch)
-                res_c, page_c, sx, sy, sz = jax.lax.cond(
-                    any_switch, do_coarse,
-                    lambda _: (jnp.zeros((w,), jnp.int32),
-                               jnp.zeros((w,), jnp.int32),
-                               px, py, pz), 0)
+                if "nocoarse" in _abl:
+                    res_c = jnp.zeros((w,), jnp.int32)
+                    page_c = jnp.zeros((w,), jnp.int32)
+                    sx = jnp.floor(px / cs) * cs
+                    sy = jnp.floor(py / cs) * cs
+                    sz = jnp.floor(pz / cs) * cs
+                elif group_coarse:
+                    # per-group gated chunk-table lookup (same trick as the
+                    # cell fetch below): groups where no lane switches skip
+                    # their [czp,cxyp]x[cxyp,256] matmul entirely. Stale
+                    # scratch lanes are safe — res_c/page_c are only consumed
+                    # under jnp.where(switch, ...).
+                    sx = jnp.floor(px / cs) * cs
+                    sy = jnp.floor(py / cs) * cs
+                    sz = jnp.floor(pz / cs) * cs
+                    ccx = ((sx - ox) / cs).astype(jnp.int32)
+                    ccy = ((sy - oy) / cs).astype(jnp.int32)
+                    ccz = ((sz - oz) / cs).astype(jnp.int32)
+                    in_grid = ((ccx >= 0) & (ccx < CX) & (ccy >= 0)
+                               & (ccy < CY) & (ccz >= 0) & (ccz < CZ))
+                    cxy = jnp.where(in_grid, ccx * CY + ccy, -1)
+                    czi_ = jnp.where(in_grid, ccz, -1)
+                    crow = (4 if byte_planes else 2)
+                    for g in range(groups):
+                        sl = slice(g * 256, (g + 1) * 256)
+
+                        @pl.when(jnp.any(switch[sl]))
+                        def _(g=g, sl=sl):
+                            oh = _onehot_T(cxy[sl], cxyp, 256)
+                            rows_T = jnp.dot(coarse_ref[:], oh,
+                                             preferred_element_type=jnp.float32)
+                            picked[crow, sl] = _sublane_pick(rows_T, czi_[sl],
+                                                             czp, 256)
+                    cw = picked[crow, :].astype(jnp.int32)
+                    res_c, page_c = cw & 7, cw >> 3
+                else:
+                    res_c, page_c, sx, sy, sz = jax.lax.cond(
+                        any_switch, do_coarse,
+                        lambda _: (jnp.zeros((w,), jnp.int32),
+                                   jnp.zeros((w,), jnp.int32),
+                                   px, py, pz), 0)
 
                 if record_traversed:
                     # traversed-chunk feedback (reference init.py:72-73):
@@ -650,6 +688,7 @@ def march_blockwise(
     interpret: bool = False,
     return_trips: bool = False,
     byte_planes: bool = False,
+    group_coarse: bool = False,
 ) -> MarchResult:
     """Bit-exact drop-in for ``march(mode="while")`` in key-RNG mode.
 
@@ -730,7 +769,7 @@ def march_blockwise(
     kernel = _make_kernel(settings, spec, w=w, record_hits=H, ep_cap=ep_cap,
                           inner_cap=inner_cap, czp=czp, cxyp=cxyp, kp=kp,
                           unroll=unroll, record_traversed=record_traversed,
-                          byte_planes=byte_planes)
+                          byte_planes=byte_planes, group_coarse=group_coarse)
     grid = (npad // w,)
     state_spec = lambda rows: pl.BlockSpec((rows, w), lambda t, s: (0, t),
                                            memory_space=pltpu.VMEM)
@@ -759,7 +798,8 @@ def march_blockwise(
                      if byte_planes else
                      pltpu.VMEM((groups, 64, 128), jnp.float32)),
                     pltpu.SemaphoreType.DMA((groups,)),
-                    pltpu.VMEM((4 if byte_planes else 2, w), jnp.float32),
+                    pltpu.VMEM(((4 if byte_planes else 2)
+                                + (1 if group_coarse else 0), w), jnp.float32),
                 ],
             ),
             out_shape=[

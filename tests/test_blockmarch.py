@@ -79,6 +79,21 @@ def test_blockmarch_byte_planes_bitexact(scene):
     _assert_same(ref, out)
 
 
+def test_blockmarch_group_coarse_bitexact(scene):
+    """Per-group gated chunk-table lookup (group_coarse=True) must match
+    the XLA march bit-for-bit incl. the hit tape."""
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(3)
+    rays = _rays(st, cam_pos, cam_rot, 2048, key)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used, record_hits=16)
+    out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                          background="sky", programs_used=cs.programs_used,
+                          record_hits=16, interpret=True, group_coarse=True,
+                          byte_planes=True)
+    _assert_same(ref, out)
+
+
 def test_blockmarch_no_hits_nonaligned_n(scene):
     """n not a multiple of the tile width exercises the padding path."""
     st, cs, cam_pos, cam_rot = scene
