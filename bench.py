@@ -252,7 +252,7 @@ def main():
                                                  jnp.mean(res.bounces))
 
         fn = jax.jit(forward)
-    else:
+    elif os.environ.get("BENCH_FUSED", "0") == "1":
         from python_raytracer_tpu.ops.diff import make_diff_renderer
 
         # 12 hits provably cannot overflow on the stock scene (ops/diff.py:
@@ -268,6 +268,52 @@ def main():
             return jnp.mean(color / 255.0), (msteps, mbounces)
 
         fn = jax.jit(jax.value_and_grad(forward, has_aux=True))
+    else:
+        # Two dispatches: kernel forward recording the hit tape, then the
+        # hit-replay grad (ops/diff.py semantics — identical math to the
+        # custom_vjp backward). One fused jit(value_and_grad) measured a
+        # 35+ min XLA compile (the Pallas call + multi-operand sorts + scan
+        # VJP in one module); split programs compile in minutes, execute
+        # back-to-back on the same stream, and are timed under one fence.
+        from python_raytracer_tpu.ops.diff import _replay
+        from python_raytracer_tpu.ops.blockmarch import march_blockwise
+        from python_raytracer_tpu.ops.compact import march_ladder
+
+        max_hits = int(os.environ.get("BENCH_MAX_HITS", "12"))
+
+        def bwd_loss(table, hits, v0):
+            color, _ = _replay(table, st, hits, v0, "sky", cs.programs_used,
+                               cs.arrays.program)
+            return jnp.mean(color / 255.0)
+
+        bwd = jax.jit(jax.grad(bwd_loss))
+
+        def fwd(table, rays):
+            arrays = dataclasses.replace(cs.arrays, material_table=table)
+            if block:
+                res = march_blockwise(st, cs.spec, arrays, rays, key=key,
+                                      background="sky",
+                                      programs_used=cs.programs_used,
+                                      record_hits=max_hits, **block_kw)
+            elif ladder:
+                res = march_ladder(st, cs.spec, arrays, rays, key=key,
+                                   background="sky",
+                                   programs_used=cs.programs_used,
+                                   record_hits=max_hits, unroll=unroll)
+            else:
+                res = march(st, cs.spec, arrays, rays, key=key,
+                            background="sky", mode="while",
+                            programs_used=cs.programs_used,
+                            record_hits=max_hits, unroll=unroll)
+            return (jnp.mean(res.color / 255.0), res.hits,
+                    (jnp.mean(res.step), jnp.mean(res.bounces)))
+
+        f_fwd = jax.jit(fwd)
+
+        def fn(table, rays):
+            loss, hits, aux = f_fwd(table, rays)
+            g = bwd(table, hits, rays.vel)
+            return (loss, aux), g
 
     table = cs.arrays.material_table
 
@@ -282,8 +328,11 @@ def main():
 
     def fence(out):
         # block_until_ready is a no-op on axon (see _device_health_ms):
-        # fence on a tiny data readback of the first output leaf.
-        leaf = jax.tree_util.tree_leaves(out)[0]
+        # fence on a tiny data readback. Use the LAST leaf: in the split
+        # fwd/bwd path the grads are the last-enqueued program's output,
+        # and executions are stream-serialized, so one readback of the
+        # last output waits for every dispatch before it.
+        leaf = jax.tree_util.tree_leaves(out)[-1]
         np.asarray(leaf.ravel()[:4])
 
     # Stage 1 (unless already the target): a fast-compiling fwd-only kernel
