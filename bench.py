@@ -20,7 +20,9 @@ parent shares no JAX state and cannot be frozen by the child's hang.
 
 Env knobs: BENCH_RAYS (batch size, default 393216), BENCH_ITERS (timed
 iterations, default 3), BENCH_FWD_ONLY=1 (skip backward),
-BENCH_DEADLINE_SEC (default 330), BENCH_HEALTH_WAIT_SEC (default 60).
+BENCH_DEADLINE_SEC (default 330), BENCH_HEALTH_WAIT_SEC (default 60),
+BENCH_STALL_SEC (default 240 — a child with no event by then is assumed
+wedged in a hung tunnel RPC and is respawned).
 """
 
 import dataclasses
@@ -55,41 +57,65 @@ def _push_best():
 
 def _parent(deadline_sec: float):
     """Run the measurement in a child process; print the last best line it
-    produced by the deadline no matter what (hang, crash, overrun)."""
+    produced by the deadline no matter what (hang, crash, overrun).
+
+    Restart policy (round-2 lesson): a child wedged in its FIRST tunnel RPC
+    (hung connection, GIL held — it can't even heartbeat) stays wedged even
+    after the tunnel recovers, so a child that has emitted NO event within
+    BENCH_STALL_SEC is killed and respawned; a fresh process opens a fresh
+    connection. Once a child has emitted any event (health probe passed) it
+    is never restarted — compiles can legitimately take 25+ min degraded."""
     import selectors
     import subprocess
 
+    stall_sec = float(os.environ.get("BENCH_STALL_SEC", "240"))
     t0 = time.time()
-    proc = subprocess.Popen(
-        [sys.executable, "-u", os.path.abspath(__file__)],
-        env={**os.environ, "_BENCH_CHILD": "1"},
-        stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
-    sel = selectors.DefaultSelector()
-    sel.register(proc.stdout, selectors.EVENT_READ)
     best = dict(_BEST)
     done = False
-    while time.time() - t0 < deadline_sec:
-        for _ in sel.select(timeout=1.0):
-            line = proc.stdout.readline()
-            if not line:
-                continue
-            try:
-                obj = json.loads(line)
-            except ValueError:
-                continue
-            if obj.get("event") == "best":
-                obj.pop("event")
-                best = obj
-                print(json.dumps({"event": "progress", **best}),
+    attempt = 0
+    while not done and time.time() - t0 < deadline_sec:
+        attempt += 1
+        proc = subprocess.Popen(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            env={**os.environ, "_BENCH_CHILD": "1"},
+            stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
+        spawned = time.time()
+        saw_event = False
+        while time.time() - t0 < deadline_sec:
+            for _ in sel.select(timeout=1.0):
+                line = proc.stdout.readline()
+                if not line:
+                    continue
+                try:
+                    obj = json.loads(line)
+                except ValueError:
+                    continue
+                if "event" in obj:
+                    saw_event = True
+                if obj.get("event") == "best":
+                    obj.pop("event")
+                    best = obj
+                    print(json.dumps({"event": "progress", **best}),
+                          file=sys.stderr, flush=True)
+                elif obj.get("event") == "done":
+                    done = True
+            if done or proc.poll() is not None:
+                break
+            if not saw_event and time.time() - spawned > stall_sec:
+                print(json.dumps({"event": "restart", "attempt": attempt,
+                                  "reason": "no event within stall window "
+                                            "(wedged tunnel RPC)"}),
                       file=sys.stderr, flush=True)
-            elif obj.get("event") == "done":
-                done = True
-        if done or proc.poll() is not None:
-            break
+                break
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+        if not done and saw_event:
+            break  # child made progress then died/overran: keep its best
     if not done:
         best.setdefault("detail", {})["timeout"] = True
-    if proc.poll() is None:
-        proc.kill()
     _emit(best)
 
 
@@ -153,12 +179,18 @@ def main():
     # a flagged number beats no number.
     _BEST["detail"]["phase"] = "health-probe"
     health = _device_health_ms()
+    # stdout: the parent counts this as proof the child is not wedged in a
+    # hung tunnel RPC (its restart policy keys on "no event yet").
+    print(json.dumps({"event": "health", "matmul10_ms": round(health, 1)}),
+          flush=True)
     wait_budget = float(os.environ.get("BENCH_HEALTH_WAIT_SEC", "60"))
     waited = 0.0
     while health > 60 and waited < wait_budget:
         time.sleep(15)
         waited += 15
         health = _device_health_ms()
+        print(json.dumps({"event": "health", "matmul10_ms": round(health, 1),
+                          "waited_sec": waited}), flush=True)
     degraded = health > 60
     print(json.dumps({"event": "health", "matmul10_ms": round(health, 1),
                       "waited_sec": waited, "degraded": degraded}),
