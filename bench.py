@@ -223,6 +223,7 @@ def main():
         inner_cap=int(os.environ.get("BENCH_INNER_CAP", "24")),
         unroll=int(os.environ.get("BENCH_BLOCK_UNROLL", "1")),
         byte_planes=os.environ.get("BENCH_BYTE_PLANES", "0") == "1",
+        group_coarse=os.environ.get("BENCH_GROUP_COARSE", "0") == "1",
     )
 
     st = default_settings().replace(exact=False, static=False)

@@ -5,8 +5,7 @@ renderer in ~4 min (TPU v5e, measured) — far over the bench watchdog's
 deadline. Round-2 lesson: caching under /tmp does NOT survive machine
 restarts (BENCH almost shipped a zero because /tmp/jax_cache vanished), so
 the cache lives in the repo checkout, which persists across rounds. Warm it
-by running ``python3 bench.py`` (or tools/warm_cache.py) after touching the
-compute path.
+by running ``python3 bench.py`` after touching the compute path.
 """
 
 import os
