@@ -21,7 +21,7 @@ parent shares no JAX state and cannot be frozen by the child's hang.
 Env knobs: BENCH_RAYS (batch size, default 393216), BENCH_ITERS (timed
 iterations, default 3), BENCH_FWD_ONLY=1 (skip backward),
 BENCH_DEADLINE_SEC (default 330), BENCH_HEALTH_WAIT_SEC (default 60),
-BENCH_STALL_SEC (default 240 — a child with no event by then is assumed
+BENCH_STALL_SEC (default 150 — a child with no event by then is assumed
 wedged in a hung tunnel RPC and is respawned).
 """
 
@@ -68,7 +68,10 @@ def _parent(deadline_sec: float):
     import selectors
     import subprocess
 
-    stall_sec = float(os.environ.get("BENCH_STALL_SEC", "240"))
+    # Default sized against the driver's 330 s deadline: one wedged attempt
+    # (150 s) still leaves a respawned child ~180 s — enough for a cached
+    # compile + the fwd-only stage. Healthy first events arrive in < 90 s.
+    stall_sec = float(os.environ.get("BENCH_STALL_SEC", "150"))
     t0 = time.time()
     best = dict(_BEST)
     done = False
