@@ -110,6 +110,26 @@ class Sprite:
                 + (ticks_ms // self.frame_time) % (self.frame_end - self.frame_start + 1)
             )
 
+    def mix(self, other: "Sprite", force: bool):
+        """Overlay another same-size sprite's frames into this one.
+
+        Reference ``Sprite.mix`` (data.py:311-321): sizes must match on every
+        axis (warns and returns otherwise); only the overlapping frame range
+        is mixed; ``None``/empty voxels in the other sprite never erase —
+        empty space does not override. ``force`` is forwarded to the per-voxel
+        write (reference: overwrite existing voxels vs keep them).
+        """
+        if self.size != other.size:
+            print(
+                "Warning: Can't mix sprites of uneven size, "
+                + f"{self.size} and {other.size} are not equal."
+            )
+            return
+        for f in range(min(len(self.frames), len(other.frames))):
+            for post, mat in other.frames[f].get_voxels().items():
+                if mat:
+                    self.set_voxel(f, post, mat, force)
+
     # --- transforms (reference data.py:325-371) ---
 
     def pos_flipped(self, pos, x: bool, y: bool, z: bool):

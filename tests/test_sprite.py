@@ -106,3 +106,38 @@ def test_anim_state_machine():
     assert spr.frame == 2
     spr.anim_update(350)
     assert spr.frame == 1 + (3 % 3)  # wraps over range length 3
+
+
+def test_mix_overlay():
+    """Sprite.mix overlays same-size sprites; None never erases; only the
+    overlapping frame range is mixed (reference data.py:311-321)."""
+    a_mat, b_mat = _mat(), Material(albedo=(9, 9, 9), solidity=1)
+    a = Sprite(size=(4, 4, 4), frames=2)
+    b = Sprite(size=(4, 4, 4), frames=3)
+    a.set_voxel(0, (1, 1, 1), a_mat, True)
+    a.set_voxel(1, (2, 2, 2), a_mat, True)
+    b.set_voxel(0, (1, 1, 1), b_mat, True)   # overlaps a's voxel
+    b.set_voxel(0, (3, 3, 3), b_mat, True)   # empty in a
+    b.set_voxel(2, (0, 0, 0), b_mat, True)   # frame beyond a's range
+
+    a.mix(b, force=True)
+    assert a.get_voxel(0, (1, 1, 1), (0, 0, 0)) is b_mat   # force overwrites
+    assert a.get_voxel(0, (3, 3, 3), (0, 0, 0)) is b_mat   # fills empties
+    assert a.get_voxel(1, (2, 2, 2), (0, 0, 0)) is a_mat   # b frame 1 empty: kept
+    assert len(a.frames) == 2                              # no frame added
+
+    # force=False keeps existing voxels
+    c = Sprite(size=(4, 4, 4), frames=1)
+    c.set_voxel(0, (1, 1, 1), a_mat, True)
+    c.mix(b, force=False)
+    assert c.get_voxel(0, (1, 1, 1), (0, 0, 0)) is a_mat
+    assert c.get_voxel(0, (3, 3, 3), (0, 0, 0)) is b_mat
+
+
+def test_mix_size_mismatch_warns(capsys):
+    a = Sprite(size=(4, 4, 4), frames=1)
+    b = Sprite(size=(4, 4, 6), frames=1)
+    b.set_voxel(0, (1, 1, 1), _mat(), True)
+    a.mix(b, force=True)
+    assert "Can't mix sprites of uneven size" in capsys.readouterr().out
+    assert a.get_voxel(0, (1, 1, 1), (0, 0, 0)) is None
