@@ -48,9 +48,15 @@ def _replay(table, settings: Settings, records: HitRecords, v0,
     scatter-add VJP (SURVEY.md §7 stage 5 optional extension)."""
     n, h = records.vid.shape
     dtype = v0.dtype
+    # Registered custom ray properties thread through the replay exactly as
+    # through the forward march (ops/programs.py register_ray_property), so
+    # gradients flow through custom-state chains too. An empty dict when none
+    # are registered keeps the carry structure static.
+    props = P.ray_properties()
+    aux0 = {name: jnp.full((n,), init, dtype) for name, init in props}
 
     def hit_step(carry, rec):
-        color, energy, vel, bounces, idx = carry
+        color, energy, vel, bounces, aux, idx = carry
         vid, u, flip, pid, cell = rec
         live = idx < records.count  # [N]
         onehot = (vid[:, None] == jnp.arange(table.shape[0])[None, :]).astype(dtype)
@@ -67,7 +73,7 @@ def _replay(table, settings: Settings, records: HitRecords, v0,
         )
         zeros = jnp.zeros_like(energy)
         ray_view = P.HitRay(color=color, energy=energy, life=zeros, vel=vel,
-                            bounces=bounces, step=zeros)
+                            bounces=bounces, step=zeros, aux=aux or None)
         upd, bounce = P.dispatch(programs_used, pid, ray_view, mat, settings, u)
         new_color = upd.get("color", color)
         new_energy = upd.get("energy", energy)
@@ -81,13 +87,15 @@ def _replay(table, settings: Settings, records: HitRecords, v0,
         energy = jnp.where(live, new_energy, energy)
         vel = jnp.where(live[:, None], new_vel, vel)
         bounces = jnp.where(live, new_bounces, bounces)
-        return (color, energy, vel, bounces, idx + 1), None
+        aux = {k: jnp.where(live, upd.get(k, aux[k]), aux[k]) for k in aux}
+        return (color, energy, vel, bounces, aux, idx + 1), None
 
     init = (
         jnp.zeros((n, 3), dtype),
         jnp.zeros((n,), dtype),
         v0,
         jnp.zeros((n,), dtype),
+        aux0,
         jnp.zeros((), jnp.int32),
     )
     pid_per_hit = (
@@ -107,7 +115,7 @@ def _replay(table, settings: Settings, records: HitRecords, v0,
     # and the VJP measured 2x slower than recompute (25.8 -> 12.2 ms at
     # N=393k, H=16 on TPU v5e).
     ck_step = jax.checkpoint(hit_step, prevent_cse=False)
-    (color, energy, vel, bounces, _), _ = jax.lax.scan(ck_step, init, recs)
+    (color, energy, vel, bounces, _, _), _ = jax.lax.scan(ck_step, init, recs)
 
     bg = P.resolve_background(background)
     if bg is not None:

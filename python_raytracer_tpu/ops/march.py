@@ -84,6 +84,7 @@ class MarchResult(NamedTuple):
     vel: jnp.ndarray  # [N, 3]
     traversed: jnp.ndarray  # bool [CX*CY*CZ] (all-False when not recorded)
     hits: Optional[HitRecords]  # populated when record_hits > 0
+    aux: Optional[dict] = None  # final registered ray-property rows ([N])
 
 
 class _State(NamedTuple):
@@ -103,6 +104,10 @@ class _State(NamedTuple):
     traversed: jnp.ndarray  # [CX*CY*CZ] bool
     it: jnp.ndarray  # [] iteration counter
     hits: Optional[HitRecords]  # hit tape buffers when record_hits > 0
+    aux: Optional[dict] = None  # registered custom ray properties, [N] each
+    # (ops/programs.py register_ray_property — the reference's mutable ray
+    # "store" fields, README.md:96; None when no property is registered so
+    # the default path's program is unchanged)
 
 
 def _all3(x):
@@ -153,6 +158,15 @@ def _neighbor_id_cls(spec, arrays, npos, cmin, cmax, cres):
     return jnp.where(beyond_active, 0, n_id), n_cls
 
 
+def _initial_aux(n, dtype):
+    """[N] rows for the registered custom ray properties (None when none —
+    keeps the default path's traced program unchanged)."""
+    props = P.ray_properties()
+    if not props:
+        return None
+    return {name: jnp.full((n,), init, dtype) for name, init in props}
+
+
 def initial_state(settings: Settings, spec: GridSpec, rays: RayBatch,
                   record_hits: int = 0, tape_ptr=None,
                   record_cells: bool = False) -> "_State":
@@ -168,6 +182,7 @@ def initial_state(settings: Settings, spec: GridSpec, rays: RayBatch,
         ptr=(tape_ptr if tape_ptr is not None else jnp.zeros((n,), jnp.int32)),
         traversed=jnp.zeros((spec.num_chunks,), bool),
         it=jnp.zeros((), jnp.int32),
+        aux=_initial_aux(n, dtype),
         hits=(
             HitRecords(
                 vid=jnp.zeros((n, record_hits), jnp.int32),
@@ -197,6 +212,7 @@ def finalize_background(settings: Settings, state: "_State", background):
     return MarchResult(
         color=color, energy=energy, bounces=state.bounces, step=state.step,
         pos=state.pos, vel=state.vel, traversed=state.traversed, hits=state.hits,
+        aux=state.aux,
     )
 
 
@@ -350,10 +366,17 @@ def march(
             vel=vel,
             bounces=state.bounces,
             step=state.step,
+            aux=state.aux,
         )
         pids = arrays.program[vid] if len(programs_used) > 1 else None
         upd, bounce = P.dispatch(programs_used, pids, ray_view, mat, settings, u)
 
+        aux = state.aux
+        if aux is not None:
+            # custom ray properties update exactly like the builtin fields:
+            # program output masked to actual hits (reference shaders mutate
+            # the ray store only when called, i.e. on a hit — init.py:81)
+            aux = {k: jnp.where(hit, upd.get(k, aux[k]), aux[k]) for k in aux}
         color = jnp.where(hit[:, None], rounding(upd.get("color", state.color)), state.color)
         energy = jnp.where(hit, upd.get("energy", state.energy), state.energy)
         life = jnp.where(hit, upd.get("life", state.life), state.life)
@@ -457,7 +480,7 @@ def march(
         return _State(
             pos=pos, vel=vel, color=color, energy=energy, step=step, life=life,
             bounces=bounces, alive=alive, cmin=cmin, cmax=cmax, cres=cres, ptr=ptr,
-            traversed=traversed, it=state.it + 1, hits=hits_rec,
+            traversed=traversed, it=state.it + 1, hits=hits_rec, aux=aux,
         )
 
     zero = jnp.zeros((n,), dtype)
@@ -481,6 +504,7 @@ def march(
             ptr=(tape_ptr if use_tape else jnp.zeros((n,), jnp.int32)),
             traversed=jnp.zeros((spec.num_chunks,), bool),
             it=jnp.zeros((), jnp.int32),
+            aux=_initial_aux(n, dtype),
             hits=(
                 HitRecords(
                     vid=jnp.zeros((n, record_hits), jnp.int32),
@@ -533,7 +557,7 @@ def march(
         res = MarchResult(
             color=final.color, energy=final.energy, bounces=final.bounces,
             step=final.step, pos=final.pos, vel=final.vel,
-            traversed=final.traversed, hits=final.hits,
+            traversed=final.traversed, hits=final.hits, aux=final.aux,
         )
         return res, final
 
@@ -558,4 +582,5 @@ def march(
         vel=final.vel,
         traversed=final.traversed,
         hits=final.hits,
+        aux=final.aux,
     )

@@ -17,8 +17,20 @@ Program ABI (all arrays batched over N rays):
 
 ``updates`` may set any of color/energy/life/vel; ``bounce`` is the amount
 added to the ray's bounce counter (the reference returns ``mat.absorption``).
-Custom ray properties (reference README.md:96 "store" extensibility) map to
-extra fields caller-side; round 1 ships the builtin programs.
+
+Custom ray properties: the reference's ray is a ``store`` record, so a mod
+shader can attach/mutate arbitrary per-ray fields that persist across the
+ray's bounces (reference README.md:96, ray built at init.py:50-59). The TPU
+equivalent is **registered ray state rows**: ``register_ray_property(name,
+init)`` declares a named per-ray f32 scalar; the XLA march then carries one
+[N] row per property in its loop state, programs read them as
+``ray.aux[name]`` and update them by returning ``{name: new_values}`` in the
+updates dict (masked to actual hits by the marcher, exactly like
+color/energy/life/vel). The hit-replay backward (ops/diff.py) threads the
+same rows, so gradients flow through custom-state chains. Scenes whose
+programs use custom ray properties render through the XLA march — the Pallas
+kernel serves the builtin-PBR fast path and callers fall back automatically
+(ops/blockmarch.py blockmarch_supported).
 """
 
 from __future__ import annotations
@@ -41,6 +53,7 @@ class HitRay:
     vel: jnp.ndarray  # [N, 3]
     bounces: jnp.ndarray  # [N]
     step: jnp.ndarray  # [N]
+    aux: Optional[Dict[str, jnp.ndarray]] = None  # registered ray props, [N]
 
 
 @dataclasses.dataclass
@@ -81,6 +94,39 @@ _PROGRAMS: Dict[int, Callable] = {M.PROGRAM_PBR: pbr_program}
 _PROGRAM_NAMES: Dict[str, int] = {"pbr": M.PROGRAM_PBR, "material": M.PROGRAM_PBR}
 _CALLABLE_IDS: Dict[int, int] = {}
 
+# Registered custom ray properties: name -> initial value. The reference's
+# "attach any field to the ray store" extensibility (README.md:96) maps to
+# these declared per-ray f32 rows (see module docstring).
+_RAY_PROPS: Dict[str, float] = {}
+_BUILTIN_RAY_FIELDS = ("color", "energy", "life", "vel", "bounces", "step")
+
+
+def register_ray_property(name: str, init: float = 0.0) -> None:
+    """Declare a custom per-ray scalar carried across the march.
+
+    Programs read it as ``ray.aux[name]`` and update it by returning
+    ``{name: values}``. ``init`` is the value rays start with (the reference
+    mod would set the field in its shader's first hit; here initialization is
+    explicit because state rows are allocated up front)."""
+    if name in _BUILTIN_RAY_FIELDS:
+        raise ValueError(f"{name!r} is a builtin ray field")
+    _RAY_PROPS[name] = float(init)
+
+
+def unregister_ray_property(name: str) -> None:
+    _RAY_PROPS.pop(name, None)
+
+
+def ray_properties() -> tuple:
+    """Static (name, init) tuple of the registered custom ray properties."""
+    return tuple(sorted(_RAY_PROPS.items()))
+
+
+def _ray_field(ray: HitRay, key: str):
+    if key in _BUILTIN_RAY_FIELDS:
+        return getattr(ray, key)
+    return ray.aux[key]
+
 
 def dispatch(programs_used, pids, ray: HitRay, mat: MatParams, settings, draws):
     """Run the material programs for a batch of hits.
@@ -101,8 +147,8 @@ def dispatch(programs_used, pids, ray: HitRay, mat: MatParams, settings, draws):
         else:
             sel = pids == pid
             for key in set(upd) | set(u_i):
-                base = upd.get(key, getattr(ray, key))
-                new = u_i.get(key, getattr(ray, key))
+                base = upd.get(key, _ray_field(ray, key))
+                new = u_i.get(key, _ray_field(ray, key))
                 s_ = sel[:, None] if new.ndim == 2 else sel
                 upd[key] = jnp.where(s_, new, base)
             bounce = jnp.where(sel, b_i, bounce)

@@ -145,3 +145,74 @@ def test_animation_triggers_redraw():
     o.update((0.0, 0.0, 0.0), 150.0)  # 150ms -> frame 1
     assert o.sprite.frame == 1
     assert o.redraw, "frame change must trigger redraw (data.py:580-582)"
+
+
+def test_custom_ray_property_carried_and_differentiable():
+    """Registered ray properties (the reference's mutable ray-store fields,
+    README.md:96): carried across hits by the march, visible in the program
+    on later hits, returned in MarchResult.aux, and differentiated by the
+    hit-replay backward in lockstep with the scan autodiff."""
+    import dataclasses as _dc
+
+    from python_raytracer_tpu.ops.camera import generate_rays, pixel_grid
+    from python_raytracer_tpu.ops.diff import make_diff_renderer
+    from python_raytracer_tpu.ops.march import march
+
+    def heat_program(ray, mat, settings, draws):
+        heat = ray.aux["heat"] + mat.energy  # accumulates across this ray's hits
+        color = ray.color * (1 - mat.absorption[:, None]) + (
+            mat.albedo + heat[:, None]) * mat.absorption[:, None]
+        return {"color": color, "heat": heat}, mat.absorption
+
+    P.register_ray_property("heat", init=0.25)
+    P.register_program("heat_test", heat_program)
+    try:
+        st = Settings(width=8, height=8, chunk_size=16, dist_max=24,
+                      max_light=10, max_bounces=2, exact=False)
+        scene = Scene(st)
+        with scene:
+            m = Material(albedo=(50, 60, 70), roughness=0, absorption=0.5,
+                         ior=0, energy=0.5, solidity=1, function="heat_test")
+            spr = Sprite(size=(8, 8, 8), frames=1)
+            spr.get_frame(0).set_voxels(
+                {(x, y, 0): m for x in range(8) for y in range(8)}, True)
+            obj = Object(pos=(0, 0, 8))
+            obj.set_sprite(spr)
+        cs = compile_scene(scene, cam_pos=np.zeros(3))
+
+        dirs, detail = pixel_grid(st, jnp.float64)
+        rays = generate_rays(st, jnp.zeros(3, jnp.float64),
+                             jnp.array([0, 0, 0, 1.0], jnp.float64), dirs, detail)
+        key = jax.random.PRNGKey(0)
+        res = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                    mode="while", programs_used=cs.programs_used)
+        heat = np.asarray(res.aux["heat"])
+        b = np.asarray(res.bounces)
+        # heat = init + energy per hit; hits = bounces / absorption(0.5)
+        np.testing.assert_allclose(heat, 0.25 + (b / 0.5) * 0.5, rtol=1e-9)
+        assert (heat > 0.25).any(), "some rays must have hit"
+
+        # gradients: hit-replay backward == scan autodiff through the custom
+        # state chain (heat feeds color, color feeds the loss)
+        render = make_diff_renderer(st, cs.spec, background="sky",
+                                    programs_used=cs.programs_used)
+
+        def loss_fast(t):
+            color, _ = render(t, cs.arrays, rays, key)
+            return jnp.mean(color)
+
+        def loss_scan(t):
+            arr = _dc.replace(cs.arrays, material_table=t)
+            r = march(st, cs.spec, arr, rays, key=key, background="sky",
+                      mode="scan", programs_used=cs.programs_used)
+            return jnp.mean(r.color)
+
+        table = cs.arrays.material_table.astype(jnp.float64)
+        l1, g1 = jax.value_and_grad(loss_fast)(table)
+        l2, g2 = jax.value_and_grad(loss_scan)(table)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-8, atol=1e-12)
+        assert np.abs(np.asarray(g1)).sum() > 0
+    finally:
+        P.unregister_ray_property("heat")
