@@ -76,6 +76,7 @@ def _parent(deadline_sec: float):
     best = dict(_BEST)
     done = False
     attempt = 0
+    crash_attempts = 0  # fast-crash respawns (import/init failures) are capped
     while not done and time.time() - t0 < deadline_sec:
         attempt += 1
         proc = subprocess.Popen(
@@ -86,25 +87,35 @@ def _parent(deadline_sec: float):
         sel.register(proc.stdout, selectors.EVENT_READ)
         spawned = time.time()
         saw_event = False
+
+        def handle(line):
+            nonlocal saw_event, best, done
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                return
+            if "event" in obj:
+                saw_event = True
+            if obj.get("event") == "best":
+                obj.pop("event")
+                best = obj
+                print(json.dumps({"event": "progress", **best}),
+                      file=sys.stderr, flush=True)
+            elif obj.get("event") == "done":
+                done = True
+
         while time.time() - t0 < deadline_sec:
             for _ in sel.select(timeout=1.0):
                 line = proc.stdout.readline()
-                if not line:
-                    continue
-                try:
-                    obj = json.loads(line)
-                except ValueError:
-                    continue
-                if "event" in obj:
-                    saw_event = True
-                if obj.get("event") == "best":
-                    obj.pop("event")
-                    best = obj
-                    print(json.dumps({"event": "progress", **best}),
-                          file=sys.stderr, flush=True)
-                elif obj.get("event") == "done":
-                    done = True
-            if done or proc.poll() is not None:
+                if line:
+                    handle(line)
+            if proc.poll() is not None:
+                # child exited: drain everything it flushed before dying so
+                # the final best/done lines are never dropped (ADVICE r2)
+                for line in proc.stdout:
+                    handle(line)
+                break
+            if done:
                 break
             if not saw_event and time.time() - spawned > stall_sec:
                 print(json.dumps({"event": "restart", "attempt": attempt,
@@ -112,11 +123,39 @@ def _parent(deadline_sec: float):
                                             "(wedged tunnel RPC)"}),
                       file=sys.stderr, flush=True)
                 break
-        if proc.poll() is None:
+        rc = proc.poll()
+        if rc is None:
             proc.kill()
             proc.wait()
-        if not done and saw_event:
-            break  # child made progress then died/overran: keep its best
+        if done:
+            break
+        if saw_event:
+            # A LIVE child past the health probe is never killed early
+            # (compiles can take 25+ min degraded), so reaching here with
+            # saw_event means it died or the deadline passed. Respawn only
+            # a crashed child that still holds no number (ADVICE r2: the
+            # no-restart rationale applies to hangs, not crashes).
+            if rc is None or rc == 0 or best.get("value", 0) > 0:
+                break
+            print(json.dumps({"event": "restart", "attempt": attempt,
+                              "reason": f"child crashed rc={rc} with no "
+                                        "measurement yet"}),
+                  file=sys.stderr, flush=True)
+            continue
+        if rc is not None and time.time() - spawned < stall_sec:
+            # fast crash before any event (import error, JAX init failure):
+            # cap + space retries instead of hot-looping (ADVICE r2 medium)
+            crash_attempts += 1
+            print(json.dumps({"event": "restart", "attempt": attempt,
+                              "reason": f"child exited rc={rc} before any "
+                                        "event", "crash_attempts": crash_attempts}),
+                  file=sys.stderr, flush=True)
+            if crash_attempts >= 3:
+                print(json.dumps({"event": "giveup",
+                                  "reason": "3 pre-event crashes"}),
+                      file=sys.stderr, flush=True)
+                break
+            time.sleep(min(15.0, 2.0 * crash_attempts))
     if not done:
         best.setdefault("detail", {})["timeout"] = True
     _emit(best)

@@ -184,8 +184,17 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                  record_hits: int, ep_cap: int, inner_cap: int,
                  czp: int, cxyp: int, kp: int, unroll: int = 1,
                  record_traversed: bool = False, byte_planes: bool = False,
-                 group_coarse: bool = False):
+                 group_coarse: bool = False, tape_rows: int = 0,
+                 tape_len: int = 0):
     """Build the kernel body (all settings/geometry static).
+
+    ``tape_rows``/``tape_len``: static-noise tape mode (reference
+    init.py:136-137 per-pixel reseeding; utils/tape.py layout). The per-ray
+    tape segments are staged per tile as a [tape_rows, w] VMEM block exactly
+    like the state rows; on a roughness hit the three uniforms are per-lane
+    sublane picks at ptr..ptr+2 (clipped to tape_len-1, matching
+    ops/march.py draws_for_iteration), and ptr advances by 3 per rough hit
+    instead of the key-mode progress counter.
 
     BM_ABL env flags (perf ablations — WRONG results, timing only):
     nodma (skip block DMAs), nocell (skip the cell-word lookup matmuls),
@@ -206,8 +215,17 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
     chunk_radius = float(settings.chunk_radius)
     H = record_hits
 
-    def kernel(scal_ref, F_in, I_in, R_in, blocks_hbm, coarse_ref, mat_ref,
-               F_out, I_out, R_out, T_out, bufs, sems, picked):
+    def kernel(scal_ref, *args):
+        i = 0
+        F_in, I_in, R_in = args[0:3]
+        i = 3
+        tape_ref = None
+        if tape_rows:
+            tape_ref = args[i]
+            i += 1
+        blocks_hbm, coarse_ref, mat_ref = args[i:i + 3]
+        F_out, I_out, R_out, T_out = args[i + 3:i + 7]
+        bufs, sems, picked = args[i + 7:i + 10]
         F_out[:] = F_in[:]
         I_out[:] = I_in[:]
         if H:
@@ -462,9 +480,20 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                     has_rough = ((word >> C.WORD_ROUGH_SHIFT) & 1) > 0
                     need_draw = hit & has_rough
 
-                    def draws(_):
-                        n1, n2 = R.fold_in_pair(k1, k2, ptr)
-                        return R.uniform3_parts(n1, n2)
+                    if tape_rows:
+                        def draws(_):
+                            # per-lane tape reads at ptr..ptr+2 (clipped like
+                            # ops/march.py draws_for_iteration)
+                            return tuple(
+                                _sublane_pick(
+                                    tape_ref[:],
+                                    jnp.minimum(ptr + j, tape_len - 1),
+                                    tape_rows, w)
+                                for j in range(3))
+                    else:
+                        def draws(_):
+                            n1, n2 = R.fold_in_pair(k1, k2, ptr)
+                            return R.uniform3_parts(n1, n2)
 
                     half = jnp.full((w,), 0.5, jnp.float32)
                     if "norng" in _abl:
@@ -539,7 +568,12 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                     0)
                 term = term_i > 0
                 ptr_pre = ptr
-                ptr = ptr + active.astype(jnp.int32)
+                if tape_rows:
+                    # tape mode: the pointer is the tape position — 3 draws
+                    # consumed per roughness hit (ops/march.py tape ptr rule)
+                    ptr = ptr + 3 * need_draw_i
+                else:
+                    ptr = ptr + active.astype(jnp.int32)
 
                 # hit record (packed; u regenerated outside the kernel)
                 count = I_out[_I_COUNT]
@@ -660,9 +694,11 @@ def blockmarch_supported(settings: Settings, spec: GridSpec,
                          programs_used=(M.PROGRAM_PBR,), tape=None) -> bool:
     """True when ``march_blockwise`` can serve this configuration (see its
     docstring for the constraint list). Callers use this to fall back to the
-    XLA march for tape mode / custom material programs / exotic configs."""
+    XLA march for custom material programs / exotic configs. Tape (static)
+    mode is served in-kernel as long as the per-ray tape fits a VMEM-staged
+    row block (the stock tape is 75 draws — utils/tape.py)."""
     return (not settings.exact
-            and tape is None
+            and (tape is None or int(tape.shape[-1]) <= 256)
             and tuple(programs_used) == (M.PROGRAM_PBR,)
             and settings.march_steps >= settings.dist_max
             and settings.chunk_size ** 3 == 4096)
@@ -675,6 +711,8 @@ def march_blockwise(
     rays: RayBatch,
     *,
     key=None,
+    tape=None,
+    tape_ptr=None,
     programs_used: Tuple[int, ...] = (M.PROGRAM_PBR,),
     background: Optional[str] = "sky",
     record_hits: int = 0,
@@ -699,8 +737,13 @@ def march_blockwise(
     ``ep_cap`` applies per invocation. ``unroll`` repeats the inner march
     body per loop trip (identical semantics, fewer cond evaluations).
 
+    ``tape``/``tape_ptr``: static-noise mode — per-ray Mersenne-Twister
+    tapes [N, D] consumed in the reference's exact draw order
+    (utils/tape.py; bit-exact vs ``march(tape=...)``); the stock reference
+    config (static=true) renders through the kernel this way.
+
     Constraints (callers fall back to the XLA march otherwise): f32 rays,
-    key mode (no tape), single PBR program, chunk_size 16, exact=False,
+    single PBR program, chunk_size 16, exact=False, tape D <= 256,
     march_steps >= dist_max (the global iteration cap must never truncate
     a ray mid-flight — true for every reference config since each
     iteration advances step by >= 1 and life <= dist_max).
@@ -713,6 +756,11 @@ def march_blockwise(
         raise ValueError("blockmarch requires march_steps >= dist_max")
     if key is None:
         key = jax.random.PRNGKey(0)
+    use_tape = tape is not None
+    if use_tape:
+        tape = jnp.asarray(tape, jnp.float32)
+        if tape.shape[-1] > 256:
+            raise ValueError("blockmarch tape mode needs <= 256 draws/ray")
 
     n = rays.pos.shape[0]
     dtype = jnp.float32
@@ -737,6 +785,18 @@ def march_blockwise(
     alive0 = life > 0
     sid = jnp.arange(npad, dtype=jnp.int32)
 
+    D = Dpad = 0
+    ptr0 = tapeT0 = None
+    if use_tape:
+        D = int(tape.shape[-1])
+        Dpad = _pad_to(D, 8)
+        ptr0 = jnp.zeros((npad,), jnp.int32)
+        if tape_ptr is not None:
+            ptr0 = ptr0.at[:n].set(jnp.asarray(tape_ptr, jnp.int32))
+        # tape transposed to rows x lanes so each tile stages its lanes'
+        # segments as one [Dpad, w] VMEM block (same layout as the state)
+        tapeT0 = jnp.zeros((Dpad, npad), jnp.float32).at[:D, :n].set(tape.T)
+
     # --- initial coherence sort: starting chunk, then direction octant ---
     cc = jnp.floor_divide(pos, float(settings.chunk_size)).astype(jnp.int32)
     cc = cc - jnp.array([o // settings.chunk_size for o in spec.origin],
@@ -749,7 +809,8 @@ def march_blockwise(
     skey = jnp.where(alive0, ckey * 8 + octant, jnp.int32(2 ** 30))
     srt = jax.lax.sort(
         [skey, sid, pos[:, 0], pos[:, 1], pos[:, 2],
-         vel[:, 0], vel[:, 1], vel[:, 2], life],
+         vel[:, 0], vel[:, 1], vel[:, 2], life]
+        + ([ptr0] if use_tape else []),
         dimension=0, is_stable=True, num_keys=1)
     sid_s = srt[1]
     pos_s = jnp.stack(srt[2:5], axis=0)
@@ -762,6 +823,10 @@ def march_blockwise(
     F = F.at[_F_LIFE].set(life_s)
     I = jnp.zeros((I_ROWS, npad), jnp.int32)
     I = I.at[_I_FLAGS].set((life_s > 0).astype(jnp.int32))
+    tape_s = None
+    if use_tape:
+        I = I.at[_I_PTR].set(srt[9])
+        tape_s = tapeT0[:, sid_s]
     H = record_hits
     hp = _pad_to(H, 8) if H else 8
     Rrec = jnp.zeros((hp, npad), jnp.int32)
@@ -769,13 +834,15 @@ def march_blockwise(
     kernel = _make_kernel(settings, spec, w=w, record_hits=H, ep_cap=ep_cap,
                           inner_cap=inner_cap, czp=czp, cxyp=cxyp, kp=kp,
                           unroll=unroll, record_traversed=record_traversed,
-                          byte_planes=byte_planes, group_coarse=group_coarse)
+                          byte_planes=byte_planes, group_coarse=group_coarse,
+                          tape_rows=Dpad if use_tape else 0, tape_len=D)
     grid = (npad // w,)
     state_spec = lambda rows: pl.BlockSpec((rows, w), lambda t, s: (0, t),
                                            memory_space=pltpu.VMEM)
     groups = w // 256
 
-    def run_kernel(F, I, Rrec):
+    def run_kernel(F, I, Rrec, tape_s=None):
+        extra = (tape_s,) if use_tape else ()
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -785,6 +852,7 @@ def march_blockwise(
                     state_spec(F_ROWS),
                     state_spec(I_ROWS),
                     state_spec(hp),
+                ] + ([state_spec(Dpad)] if use_tape else []) + [
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -809,9 +877,9 @@ def march_blockwise(
                 jax.ShapeDtypeStruct((npad // w, czp, cxyp), jnp.int32),
             ],
             interpret=interpret,
-        )(scal, F, I, Rrec, blocks, coarse, mat8)
+        )(scal, F, I, Rrec, *extra, blocks, coarse, mat8)
 
-    F2, I2, R2, T2 = run_kernel(F, I, Rrec)
+    F2, I2, R2, T2 = run_kernel(F, I, Rrec, tape_s)
     trav_acc = T2.any(axis=0) if record_traversed else None
     for _ in range(1, supersteps):
         # compaction co-sort: dead lanes last (all-dead tiles exit at
@@ -831,7 +899,9 @@ def march_blockwise(
         I2 = jnp.zeros((I_ROWS, npad), jnp.int32).at[:5].set(
             jnp.stack(out[2 + F_ROWS:7 + F_ROWS]))
         R2 = jnp.stack(out[7 + F_ROWS:7 + F_ROWS + hp])
-        F2, I2, R2, T2 = run_kernel(F2, I2, R2)
+        if use_tape:
+            tape_s = tapeT0[:, sid_s]
+        F2, I2, R2, T2 = run_kernel(F2, I2, R2, tape_s)
         if record_traversed:
             trav_acc = trav_acc | T2.any(axis=0)
 
@@ -870,8 +940,14 @@ def march_blockwise(
         hflip = (rec >> _REC_FLIP_SHIFT) & 7
         hrough = (rec >> _REC_ROUGH_SHIFT) & 1
         hptr = rec >> _REC_PTR_SHIFT
-        hu = jnp.where((hrough > 0)[..., None],
-                       R.hit_draws(key, hptr).astype(dtype), dtype(0.5))
+        if use_tape:
+            # regenerate the applied uniforms from the recorded tape position
+            idx = jnp.clip(hptr[..., None] + jnp.arange(3)[None, None, :],
+                           0, D - 1).reshape(n, H * 3)
+            hu_all = jnp.take_along_axis(tape, idx, axis=1).reshape(n, H, 3)
+        else:
+            hu_all = R.hit_draws(key, hptr).astype(dtype)
+        hu = jnp.where((hrough > 0)[..., None], hu_all, dtype(0.5))
         hits = HitRecords(vid=hvid, u=hu, flip=hflip, count=count[:n])
 
     if record_traversed:
@@ -891,7 +967,8 @@ def march_blockwise(
         # zero-trip while_loop) — exactness never depends on the caps
         _, state = march(
             settings, spec, arrays, RayBatch(state.pos, state.vel, state.life),
-            key=key, programs_used=programs_used, background=background,
+            key=key, tape=tape, programs_used=programs_used,
+            background=background,
             mode="while", record_hits=H, record_traversed=record_traversed,
             resume_state=state, finalize=False)
     res = finalize_background(settings, state, background)

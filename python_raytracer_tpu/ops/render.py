@@ -169,15 +169,16 @@ def render_frame(
 
         if not blockmarch_supported(settings, spec, programs_used,
                                     march_kw.get("tape")):
-            # graceful fallback: tape mode, custom material programs and
-            # exotic configs render through the XLA march (bit-identical
-            # semantics, slower) instead of erroring out of the kernel
+            # graceful fallback: custom material programs and exotic configs
+            # render through the XLA march (bit-identical semantics, slower)
+            # instead of erroring out of the kernel
             mode = "while"
     if mode == "block":
         res = march_blockwise(
             settings, spec, arrays,
             RayBatch(*(x.astype(jnp.float32) for x in rays)),
-            key=march_kw["key"], background=background,
+            key=march_kw["key"], tape=march_kw.get("tape"),
+            tape_ptr=march_kw.get("tape_ptr"), background=background,
             record_traversed=record_traversed, programs_used=programs_used,
             **(block_kw or {}),
         )

@@ -113,9 +113,10 @@ class Engine:
             )
         else:
             # block=True renders through the Pallas kernel
-            # (ops/blockmarch.py; TPU f32, key-RNG — not static/tape mode)
-            if block and (st.static or dtype != jnp.float32):
-                raise ValueError("block rendering needs f32 + static=false")
+            # (ops/blockmarch.py; TPU f32 — static configs march in-kernel
+            # with per-ray VMEM-staged tape segments)
+            if block and dtype != jnp.float32:
+                raise ValueError("block rendering needs f32")
             self._render = jax.jit(
                 lambda arrays, cam_pos, cam_rot, lens, key: render_frame(
                     st, self.compiled.spec, arrays, cam_pos, cam_rot, lens,

@@ -310,3 +310,76 @@ def test_blockmarch_random_scenes(seed, tmp_path):
                           background="sky", programs_used=cs.programs_used,
                           record_hits=16, interpret=True)
     _assert_same(ref, out)
+
+
+def test_blockmarch_tape_mode_bitexact(scene):
+    """Static-noise (tape) mode: the kernel consumes per-ray VMEM-staged
+    Mersenne-Twister tape segments in the reference's exact draw order
+    (utils/tape.py) — bit-exact vs march(tape=...) incl. the hit tape.
+    This is the stock reference config's path (static=true,
+    init.py:136-137), VERDICT round-2 item 5."""
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(3)
+    rays = _rays(st, cam_pos, cam_rot, 2048, key)
+    n = 2048
+    tape = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(77), (n, 75), jnp.float32))
+    ptr0 = jnp.full((n,), 3, jnp.int32)  # after u_lod + 2 DOF raygen draws
+    ref = march(st, cs.spec, cs.arrays, rays, tape=jnp.asarray(tape),
+                tape_ptr=ptr0, background="sky", mode="while",
+                programs_used=cs.programs_used, record_hits=16)
+    out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                          tape=jnp.asarray(tape), tape_ptr=ptr0,
+                          background="sky", programs_used=cs.programs_used,
+                          record_hits=16, interpret=True)
+    _assert_same(ref, out)
+
+
+def test_blockmarch_tape_mode_supersteps_small_caps(scene):
+    """Tape mode under compaction re-sorts and cap-straggler cleanup: the
+    tape pointer and per-lane segments must survive the co-sorts and the
+    XLA cleanup must continue consuming the same tape."""
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(13)
+    rays = _rays(st, cam_pos, cam_rot, 1024, key)
+    n = 1024
+    tape = jax.random.uniform(jax.random.PRNGKey(5), (n, 75), jnp.float32)
+    ptr0 = jnp.full((n,), 1, jnp.int32)  # dof=0 raygen consumes only u_lod
+    ref = march(st, cs.spec, cs.arrays, rays, tape=tape, tape_ptr=ptr0,
+                background="sky", mode="while",
+                programs_used=cs.programs_used, record_hits=16)
+    out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key, tape=tape,
+                          tape_ptr=ptr0, background="sky",
+                          programs_used=cs.programs_used, record_hits=16,
+                          supersteps=3, ep_cap=3, inner_cap=6,
+                          interpret=True)
+    _assert_same(ref, out)
+
+
+def test_engine_block_static_frames_match():
+    """Engine(block=True) on a STATIC config (the stock reference default,
+    config.cfg static=true) renders through the kernel's tape mode and must
+    equal the XLA engine frame-for-frame."""
+    from python_raytracer_tpu.models.default import build_default_scene, default_settings
+    from python_raytracer_tpu.ops import blockmarch as B
+    from python_raytracer_tpu.runtime.engine import Engine
+
+    st = default_settings().replace(width=16, height=12, samples=1,
+                                    gravity=0.0, static=True, exact=False)
+
+    orig = B.march_blockwise
+
+    def interp(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    B.march_blockwise = interp
+    try:
+        e_ref = Engine(build_default_scene(st), pipeline=False)
+        e_blk = Engine(build_default_scene(st), pipeline=False, block=True)
+        for fi in range(3):
+            a = e_ref.step(1 / 24)
+            b = e_blk.step(1 / 24)
+            np.testing.assert_array_equal(a, b, err_msg=f"frame {fi}")
+    finally:
+        B.march_blockwise = orig
