@@ -115,7 +115,8 @@ def _pad_to(x, mult):
     return -(-x // mult) * mult
 
 
-def pack_blocks(spec: GridSpec, cell_word, chunk_res, byte_planes=False):
+def pack_blocks(spec: GridSpec, cell_word, chunk_res, byte_planes=False,
+                voxel_albedo=None):
     """cell_word flat [X*Y*Z] -> (blocks, coarse f32).
 
     Default (f32 halves): blocks [C, 64, 128] f32 — blocks[c, lo, hi] = low
@@ -128,6 +129,11 @@ def pack_blocks(spec: GridSpec, cell_word, chunk_res, byte_planes=False):
     but the MXU runs native single-pass bf16 instead of the 3-pass f32
     decomposition, and the HBM->VMEM block DMA halves to 16 KiB/chunk.
 
+    ``voxel_albedo`` [X*Y*Z, 3] f32 (the per-voxel differentiable albedo
+    grid, SURVEY.md §7 stage 5): appended as 3 more 32-row groups — blocks
+    [C, 160, 128] — so the per-hit albedo offset rides the same DMA and the
+    same one-hot lookup as the cell word (f32 halves mode only).
+
     coarse[cz, cx*CY+cy] = chunk_res | chunk_flat<<3 (exact in f32: <= 2^24).
     Jittable; rebuilt on bake updates (cheap reshapes, no gathers).
     """
@@ -135,17 +141,27 @@ def pack_blocks(spec: GridSpec, cell_word, chunk_res, byte_planes=False):
     if cs * cs * cs != 4096:
         raise ValueError("blockmarch requires chunk_size 16")
     CX, CY, CZ = spec.chunk_shape
-    w = cell_word.reshape(CX, cs, CY, cs, CZ, cs)
-    w = w.transpose(0, 2, 4, 1, 3, 5).reshape(CX * CY * CZ, 128, 32)
-    w = w.transpose(0, 2, 1)  # [C, lo, hi]
+
+    def to_lohi(flat):
+        v = flat.reshape(CX, cs, CY, cs, CZ, cs)
+        v = v.transpose(0, 2, 4, 1, 3, 5).reshape(CX * CY * CZ, 128, 32)
+        return v.transpose(0, 2, 1)  # [C, lo, hi]
+
+    w = to_lohi(cell_word)
     if byte_planes:
+        if voxel_albedo is not None:
+            raise ValueError("voxel_albedo needs f32-halves blocks")
         blocks = jnp.stack(
             [((w >> (8 * b)) & 0xFF).astype(jnp.bfloat16) for b in range(4)],
             axis=1)  # [C, 4, lo, hi]
     else:
         lo16 = (w & 0xFFFF).astype(jnp.float32)
         hi16 = ((w >> 16) & 0x7FFF).astype(jnp.float32)
-        blocks = jnp.concatenate([lo16, hi16], axis=1)  # [C, 64, 128]
+        parts = [lo16, hi16]
+        if voxel_albedo is not None:
+            va = voxel_albedo.astype(jnp.float32)
+            parts += [to_lohi(va[:, ch]) for ch in range(3)]
+        blocks = jnp.concatenate(parts, axis=1)  # [C, 64 or 160, 128]
 
     flat = jnp.arange(CX * CY * CZ, dtype=jnp.int32)
     cword = chunk_res.astype(jnp.int32) | (flat << 3)
@@ -185,8 +201,14 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                  czp: int, cxyp: int, kp: int, unroll: int = 1,
                  record_traversed: bool = False, byte_planes: bool = False,
                  group_coarse: bool = False, tape_rows: int = 0,
-                 tape_len: int = 0):
+                 tape_len: int = 0, voxel_mode: bool = False,
+                 record_cells: bool = False):
     """Build the kernel body (all settings/geometry static).
+
+    ``voxel_mode``: blocks carry 3 extra 32-row albedo groups
+    (pack_blocks(voxel_albedo=...)) applied as per-hit albedo offsets;
+    ``record_cells``: the hit tape gains a second row block holding the flat
+    grid cell of each hit (per-voxel gradient routing, ops/diff.py).
 
     ``tape_rows``/``tape_len``: static-noise tape mode (reference
     init.py:136-137 per-pixel reseeding; utils/tape.py layout). The per-ray
@@ -214,6 +236,9 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
     lod_bounces = float(settings.lod_bounces)
     chunk_radius = float(settings.chunk_radius)
     H = record_hits
+    hp = _pad_to(H, 8) if H else 8
+    SX, SY, SZ = spec.shape
+    brows = 160 if voxel_mode else 64  # f32-halves block rows
 
     def kernel(scal_ref, *args):
         i = 0
@@ -346,7 +371,7 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                                & (ccy < CY) & (ccz >= 0) & (ccz < CZ))
                     cxy = jnp.where(in_grid, ccx * CY + ccy, -1)
                     czi_ = jnp.where(in_grid, ccz, -1)
-                    crow = (4 if byte_planes else 2)
+                    crow = 4 if byte_planes else (5 if voxel_mode else 2)
                     for g in range(groups):
                         sl = slice(g * 256, (g + 1) * 256)
 
@@ -439,9 +464,16 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                                     bufs[g], oh,
                                     preferred_element_type=jnp.float32)
                                 picked[0, sl] = _sublane_pick(rows_T, lo[sl],
-                                                              64, 256)
+                                                              brows, 256)
                                 picked[1, sl] = _sublane_pick(
-                                    rows_T, lo[sl] + 32, 64, 256)
+                                    rows_T, lo[sl] + 32, brows, 256)
+                                if voxel_mode:
+                                    # per-voxel albedo offsets ride the same
+                                    # lookup (rows 64+32*ch of the block)
+                                    for ch in range(3):
+                                        picked[2 + ch, sl] = _sublane_pick(
+                                            rows_T, lo[sl] + 64 + 32 * ch,
+                                            brows, 256)
                 if byte_planes:
                     word = (picked[0, :].astype(jnp.int32)
                             | (picked[1, :].astype(jnp.int32) << 8)
@@ -475,6 +507,12 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                         mrows = jnp.dot(mat_ref[:], _onehot_T(vid, kp, w),
                                         preferred_element_type=jnp.float32)
                     alb_r, alb_g, alb_b = mrows[0], mrows[1], mrows[2]
+                    if voxel_mode:
+                        # dense per-cell albedo offset (ops/march.py
+                        # voxel_albedo; non-hit lanes masked by `hit` below)
+                        alb_r = alb_r + picked[2, :]
+                        alb_g = alb_g + picked[3, :]
+                        alb_b = alb_b + picked[4, :]
                     rough, absorb, ior, menergy = (mrows[3], mrows[4],
                                                    mrows[5], mrows[6])
                     has_rough = ((word >> C.WORD_ROUGH_SHIFT) & 1) > 0
@@ -588,6 +626,18 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                         sel = (rows == count[None, :]) & (
                             hit & (count < H))[None, :]
                         R_out[:H] = jnp.where(sel, rec[None, :], R_out[:H])
+                        if record_cells:
+                            # flat grid cell of this hit (clipped exactly
+                            # like ops/march.py gsafe_flat)
+                            gx = jnp.clip((fx - ox).astype(jnp.int32),
+                                          0, SX - 1)
+                            gy = jnp.clip((fy - oy).astype(jnp.int32),
+                                          0, SY - 1)
+                            gz = jnp.clip((fz - oz).astype(jnp.int32),
+                                          0, SZ - 1)
+                            cellf = (gx * SY + gy) * SZ + gz
+                            R_out[hp:hp + H] = jnp.where(
+                                sel, cellf[None, :], R_out[hp:hp + H])
                 count = count + hit.astype(jnp.int32)
 
                 # 5. advance (ops/march.py step 5, reference init.py:113-116)
@@ -727,6 +777,8 @@ def march_blockwise(
     return_trips: bool = False,
     byte_planes: bool = False,
     group_coarse: bool = False,
+    voxel_albedo=None,
+    record_cells: bool = False,
 ) -> MarchResult:
     """Bit-exact drop-in for ``march(mode="while")`` in key-RNG mode.
 
@@ -761,6 +813,8 @@ def march_blockwise(
         tape = jnp.asarray(tape, jnp.float32)
         if tape.shape[-1] > 256:
             raise ValueError("blockmarch tape mode needs <= 256 draws/ray")
+    if voxel_albedo is not None and byte_planes:
+        raise ValueError("voxel_albedo needs f32-halves blocks")
 
     n = rays.pos.shape[0]
     dtype = jnp.float32
@@ -771,7 +825,8 @@ def march_blockwise(
     cxyp = _pad_to(CX * CY, 8)
 
     blocks, coarse = pack_blocks(spec, arrays.cell_word, arrays.chunk_res,
-                                 byte_planes=byte_planes)
+                                 byte_planes=byte_planes,
+                                 voxel_albedo=voxel_albedo)
     mat8 = pack_mat_rows(arrays.material_table)
     kp = mat8.shape[1]
     k1, k2 = R.key_data_pair(key)
@@ -829,13 +884,17 @@ def march_blockwise(
         tape_s = tapeT0[:, sid_s]
     H = record_hits
     hp = _pad_to(H, 8) if H else 8
-    Rrec = jnp.zeros((hp, npad), jnp.int32)
+    rrows = hp * 2 if (record_cells and H) else hp  # + flat-cell row block
+    Rrec = jnp.zeros((rrows, npad), jnp.int32)
+    voxel_mode = voxel_albedo is not None
 
     kernel = _make_kernel(settings, spec, w=w, record_hits=H, ep_cap=ep_cap,
                           inner_cap=inner_cap, czp=czp, cxyp=cxyp, kp=kp,
                           unroll=unroll, record_traversed=record_traversed,
                           byte_planes=byte_planes, group_coarse=group_coarse,
-                          tape_rows=Dpad if use_tape else 0, tape_len=D)
+                          tape_rows=Dpad if use_tape else 0, tape_len=D,
+                          voxel_mode=voxel_mode,
+                          record_cells=record_cells and H > 0)
     grid = (npad // w,)
     state_spec = lambda rows: pl.BlockSpec((rows, w), lambda t, s: (0, t),
                                            memory_space=pltpu.VMEM)
@@ -851,29 +910,31 @@ def march_blockwise(
                 in_specs=[
                     state_spec(F_ROWS),
                     state_spec(I_ROWS),
-                    state_spec(hp),
+                    state_spec(rrows),
                 ] + ([state_spec(Dpad)] if use_tape else []) + [
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 out_specs=[state_spec(F_ROWS), state_spec(I_ROWS),
-                           state_spec(hp),
+                           state_spec(rrows),
                            pl.BlockSpec((1, czp, cxyp), lambda t, s: (t, 0, 0),
                                         memory_space=pltpu.VMEM)],
                 scratch_shapes=[
                     (pltpu.VMEM((groups, 4, 32, 128), jnp.bfloat16)
                      if byte_planes else
-                     pltpu.VMEM((groups, 64, 128), jnp.float32)),
+                     pltpu.VMEM((groups, 160 if voxel_mode else 64, 128),
+                                jnp.float32)),
                     pltpu.SemaphoreType.DMA((groups,)),
-                    pltpu.VMEM(((4 if byte_planes else 2)
+                    pltpu.VMEM(((4 if byte_planes else
+                                 (5 if voxel_mode else 2))
                                 + (1 if group_coarse else 0), w), jnp.float32),
                 ],
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((F_ROWS, npad), dtype),
                 jax.ShapeDtypeStruct((I_ROWS, npad), jnp.int32),
-                jax.ShapeDtypeStruct((hp, npad), jnp.int32),
+                jax.ShapeDtypeStruct((rrows, npad), jnp.int32),
                 jax.ShapeDtypeStruct((npad // w, czp, cxyp), jnp.int32),
             ],
             interpret=interpret,
@@ -892,13 +953,13 @@ def march_blockwise(
                           ((_STALL_MAX - stall_f) << 24) | page_f,
                           jnp.int32(2 ** 30))
         ops = ([key_f, sid_s] + [F2[i] for i in range(F_ROWS)]
-               + [I2[i] for i in range(5)] + [R2[i] for i in range(hp)])
+               + [I2[i] for i in range(5)] + [R2[i] for i in range(rrows)])
         out = jax.lax.sort(ops, dimension=0, is_stable=False, num_keys=1)
         sid_s = out[1]
         F2 = jnp.stack(out[2:2 + F_ROWS])
         I2 = jnp.zeros((I_ROWS, npad), jnp.int32).at[:5].set(
             jnp.stack(out[2 + F_ROWS:7 + F_ROWS]))
-        R2 = jnp.stack(out[7 + F_ROWS:7 + F_ROWS + hp])
+        R2 = jnp.stack(out[7 + F_ROWS:7 + F_ROWS + rrows])
         if use_tape:
             tape_s = tapeT0[:, sid_s]
         F2, I2, R2, T2 = run_kernel(F2, I2, R2, tape_s)
@@ -912,7 +973,7 @@ def march_blockwise(
 
     # --- final unsort (one multi-operand co-sort keyed by slot id) ---
     ops = [sid_s] + [F2[i] for i in range(F_ROWS)] + [
-        I2[_I_FLAGS], I2[_I_PTR], I2[_I_COUNT]] + [R2[i] for i in range(hp)]
+        I2[_I_FLAGS], I2[_I_PTR], I2[_I_COUNT]] + [R2[i] for i in range(rrows)]
     out = jax.lax.sort(ops, dimension=0, is_stable=False, num_keys=1)
     Fo = out[1:1 + F_ROWS]
     flags, ptr, count = out[1 + F_ROWS:4 + F_ROWS]
@@ -948,7 +1009,11 @@ def march_blockwise(
         else:
             hu_all = R.hit_draws(key, hptr).astype(dtype)
         hu = jnp.where((hrough > 0)[..., None], hu_all, dtype(0.5))
-        hits = HitRecords(vid=hvid, u=hu, flip=hflip, count=count[:n])
+        hcell = None
+        if record_cells:
+            hcell = jnp.stack([recs[hp + i][:n] for i in range(H)], axis=1)
+        hits = HitRecords(vid=hvid, u=hu, flip=hflip, count=count[:n],
+                          cell=hcell)
 
     if record_traversed:
         # [czp, cxyp] bitmask -> flat chunk order (cx*CY + cy major, cz minor)
@@ -970,6 +1035,7 @@ def march_blockwise(
             key=key, tape=tape, programs_used=programs_used,
             background=background,
             mode="while", record_hits=H, record_traversed=record_traversed,
+            voxel_albedo=voxel_albedo, record_cells=record_cells and H > 0,
             resume_state=state, finalize=False)
     res = finalize_background(settings, state, background)
     if return_trips:

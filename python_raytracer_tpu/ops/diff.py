@@ -150,16 +150,18 @@ def make_diff_renderer(
     ``voxel_grid=True`` changes the signature to ``render(table,
     voxel_albedo, arrays, rays, key)`` — a dense per-cell albedo-offset
     field [X*Y*Z, 3] differentiated alongside the table (SURVEY.md §7
-    stage 5 optional extension; XLA forwards only — the march records the
-    hit cells and the replay backward scatter-adds into the grid).
+    stage 5 optional extension). Served by the plain while forward or the
+    Pallas kernel (``forward="block"``: the albedo grid rides the chunk
+    pages and the hit cells land in the packed tape — ops/blockmarch.py);
+    the replay backward scatter-adds into the grid either way.
 
     Diff-path ABI note: custom material programs are replayed with zeroed
     ``step``/``life`` ray fields (they are not outputs); programs whose
     color/energy/vel outputs depend on those fields get approximate
     gradients (the builtin PBR program does not)."""
     settings = settings.replace(exact=False)
-    if voxel_grid and forward != "while":
-        raise ValueError("voxel_grid needs the plain while-march forward")
+    if voxel_grid and forward not in ("while", "block"):
+        raise ValueError("voxel_grid needs the while or block forward")
 
     def _forward(table, voxg, arrays: SceneArrays, rays: RayBatch, key):
         arr = dataclasses.replace(arrays, material_table=table)
@@ -172,7 +174,7 @@ def make_diff_renderer(
             res = march_blockwise(
                 settings, spec, arr, rays, key=key, background=background,
                 record_hits=max_hits, programs_used=programs_used,
-                **(block_kw or {}),
+                **vkw, **(block_kw or {}),
             )
         elif forward == "ladder":
             from python_raytracer_tpu.ops.compact import march_ladder

@@ -383,3 +383,69 @@ def test_engine_block_static_frames_match():
             np.testing.assert_array_equal(a, b, err_msg=f"frame {fi}")
     finally:
         B.march_blockwise = orig
+
+
+def test_blockmarch_voxel_albedo_bitexact(scene):
+    """Per-voxel albedo grid through the kernel: the offsets ride the chunk
+    pages (pack_blocks 160-row blocks), the hit cells land in the packed
+    tape, and everything is bit-exact vs the XLA march (VERDICT r2 item 7)."""
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(3)
+    rays = _rays(st, cam_pos, cam_rot, 1024, key)
+    nv = int(np.prod(cs.spec.shape))
+    vox = (jax.random.uniform(jax.random.PRNGKey(123), (nv, 3), jnp.float32)
+           * 20.0 - 10.0)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used, record_hits=16,
+                voxel_albedo=vox, record_cells=True)
+    out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                          background="sky", programs_used=cs.programs_used,
+                          record_hits=16, voxel_albedo=vox, record_cells=True,
+                          supersteps=2, ep_cap=6, inner_cap=8,
+                          interpret=True)
+    _assert_same(ref, out)
+    np.testing.assert_array_equal(np.asarray(ref.hits.cell),
+                                  np.asarray(out.hits.cell))
+
+
+def test_voxel_grid_gradients_block_forward(scene):
+    """make_diff_renderer(voxel_grid=True, forward='block'): per-voxel grid
+    gradients at kernel speed equal the while-forward gradients exactly."""
+    from python_raytracer_tpu.ops import blockmarch as B
+    from python_raytracer_tpu.ops.diff import make_diff_renderer
+
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(9)
+    rays = _rays(st, cam_pos, cam_rot, 512, key)
+    nv = int(np.prod(cs.spec.shape))
+    vox0 = jnp.zeros((nv, 3), jnp.float32)
+
+    orig = B.march_blockwise
+
+    def interp(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    B.march_blockwise = interp
+    try:
+        r_block = make_diff_renderer(st, cs.spec, max_hits=16,
+                                     programs_used=cs.programs_used,
+                                     forward="block", voxel_grid=True)
+        r_while = make_diff_renderer(st, cs.spec, max_hits=16,
+                                     programs_used=cs.programs_used,
+                                     forward="while", voxel_grid=True)
+
+        def loss(renderer, table, vox):
+            color, _ = renderer(table, vox, cs.arrays, rays, key)
+            return jnp.mean(color / 255.0)
+
+        table = cs.arrays.material_table
+        (gt_b, gv_b) = jax.grad(lambda t, v: loss(r_block, t, v),
+                                argnums=(0, 1))(table, vox0)
+        (gt_w, gv_w) = jax.grad(lambda t, v: loss(r_while, t, v),
+                                argnums=(0, 1))(table, vox0)
+        np.testing.assert_array_equal(np.asarray(gt_b), np.asarray(gt_w))
+        np.testing.assert_array_equal(np.asarray(gv_b), np.asarray(gv_w))
+        assert np.abs(np.asarray(gv_b)).sum() > 0
+    finally:
+        B.march_blockwise = orig
