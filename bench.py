@@ -410,6 +410,44 @@ def main():
         leaf = jax.tree_util.tree_leaves(out)[-1]
         np.asarray(leaf.ravel()[:4])
 
+    # Stage 0: the plain XLA while-march, the simplest (fastest-compiling)
+    # program in the tree (~3.3 Mrays/s fwd-only, round-1 measurement). Runs
+    # FIRST so the watchdog holds a real nonzero number even if every kernel
+    # compile misses the persistent cache and blows the deadline (rounds 1-2
+    # both shipped value 0.0 for exactly that reason). Cache-warmed like the
+    # kernel programs; a hit costs seconds. BENCH_STAGE0=0 disables.
+    if (os.environ.get("BENCH_STAGE0", "1") == "1" and not compact
+            and not (fwd_only and not block)):
+        try:
+            _BEST["detail"]["phase"] = "stage0-while-compile"
+
+            def while_fwd(table, rays):
+                arrays = dataclasses.replace(cs.arrays, material_table=table)
+                res = march(st, cs.spec, arrays, rays, key=key,
+                            background="sky", mode="while",
+                            programs_used=cs.programs_used)
+                return jnp.mean(res.color / 255.0)
+
+            f0 = jax.jit(while_fwd)
+            fence(f0(table, rays))
+            rtt = _rtt_ms()
+            t0 = time.time()
+            out0 = f0(table, rays)
+            fence(out0)
+            dt0 = max(1e-9, (time.time() - t0) - rtt / 1e3)
+            m0 = n_rays / dt0 / 1e6
+            _BEST.update(
+                metric="Mrays/s/chip FWD-ONLY on default scene "
+                       "(XLA while-march fallback; kernel stages did not "
+                       "finish in the deadline)",
+                value=round(m0, 4), vs_baseline=round(m0 / 100.0, 6),
+                detail={**detail_base(), "phase": "stage0-while-fallback",
+                        "sec_per_iter": round(dt0, 4)},
+            )
+            _push_best()
+        except Exception as e:  # fallback must never sink the bench
+            _BEST["detail"]["stage0_error"] = repr(e)[:200]
+
     # Stage 1 (unless already the target): a forward-only measurement so the
     # watchdog always holds a REAL number even if the backward compile
     # exceeds the deadline. Uses the SAME jitted f_fwd program as the main

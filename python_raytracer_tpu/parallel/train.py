@@ -71,19 +71,39 @@ def project_material_table(table):
 def make_train_step(settings: Settings, spec: GridSpec,
                     optimizer: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None, max_hits: int = 16,
-                    programs_used=(0,), project=None, grad_mask=None):
+                    programs_used=(0,), project=None, grad_mask=None,
+                    forward: str = "while", block_kw: Optional[dict] = None,
+                    split: Optional[bool] = None):
     """Build a jitted train step. With a mesh, rays are sharded on the batch
     axis ('data') and everything else is replicated; jit inserts the psum for
     the table gradient.
 
     Uses the hit-tape custom VJP (ops/diff.py): early-exit forward march +
     hit-replay backward, verified gradient-identical to scan autodiff in
-    tests/test_grad.py."""
+    tests/test_grad.py.
+
+    ``forward="block"`` routes the forward through the Pallas blockwise
+    kernel (ops/blockmarch.py). One fused jit(value_and_grad) over that
+    program did not finish XLA-compiling in 45 min on TPU (ROADMAP round-2
+    measurement), so block defaults to ``split=True``: the step runs as TWO
+    jitted programs — kernel forward recording the hit tape, then
+    replay-grad + optimizer update — dispatched back-to-back on the same
+    stream (identical device work; the replay reproduces the forward color
+    bit-exactly, so the loss and gradients equal the fused step's exactly,
+    tests/test_train_split.py). ``split`` can be forced either way."""
     from python_raytracer_tpu.ops.diff import make_diff_renderer
 
     settings = settings.replace(exact=False)
+    if split is None:
+        split = forward == "block"
+    if split:
+        return _make_split_train_step(
+            settings, spec, optimizer, mesh=mesh, max_hits=max_hits,
+            programs_used=programs_used, project=project, grad_mask=grad_mask,
+            forward=forward, block_kw=block_kw)
     renderer = make_diff_renderer(settings, spec, max_hits=max_hits,
-                                  programs_used=programs_used)
+                                  programs_used=programs_used,
+                                  forward=forward, block_kw=block_kw)
 
     def step(arrays: SceneArrays, opt_state, rays: RayBatch, target, key):
         def loss_fn(table):
@@ -122,3 +142,79 @@ def make_train_step(settings: Settings, spec: GridSpec,
     )
     out_shardings = (arrays_sh, repl, repl)
     return jax.jit(step, in_shardings=in_shardings, out_shardings=out_shardings)
+
+
+def _make_split_train_step(settings: Settings, spec: GridSpec,
+                           optimizer: optax.GradientTransformation,
+                           mesh: Optional[Mesh], max_hits: int,
+                           programs_used, project, grad_mask,
+                           forward: str, block_kw: Optional[dict]):
+    """Two-program train step (see make_train_step): ``f_fwd`` marches and
+    records the hit tape, ``f_bwd`` differentiates the tape replay and
+    applies the optimizer. Compiles in minutes where the fused
+    jit(value_and_grad) over the Pallas kernel did not finish in 45."""
+    from python_raytracer_tpu.ops.diff import _replay
+
+    background = "sky"
+
+    def fwd(arrays: SceneArrays, rays: RayBatch, key):
+        if forward == "block":
+            from python_raytracer_tpu.ops.blockmarch import march_blockwise
+
+            res = march_blockwise(settings, spec, arrays, rays, key=key,
+                                  background=background,
+                                  record_hits=max_hits,
+                                  programs_used=programs_used,
+                                  **(block_kw or {}))
+        else:
+            res = march(settings, spec, arrays, rays, key=key,
+                        background=background, mode=forward,
+                        record_hits=max_hits, programs_used=programs_used)
+        return res.hits
+
+    def bwd(arrays: SceneArrays, opt_state, hits, v0, target):
+        def loss_fn(table):
+            color, _ = _replay(table, settings, hits, v0, background,
+                               programs_used, arrays.program)
+            return jnp.mean((color / 255.0 - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(arrays.material_table)
+        if grad_mask is not None:
+            grads = grads * grad_mask
+        updates, opt_state = optimizer.update(grads, opt_state,
+                                              arrays.material_table)
+        table = optax.apply_updates(arrays.material_table, updates)
+        if project is not None:
+            table = project(table)
+        return dataclasses.replace(arrays, material_table=table), opt_state, loss
+
+    if mesh is None:
+        f_fwd = jax.jit(fwd)
+        f_bwd = jax.jit(bwd)
+    else:
+        shard = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        arrays_sh = SceneArrays(
+            world_ids=repl, baked_ids=repl, chunk_res=repl, cell_word=repl,
+            material_table=repl, has_roughness=repl, has_ior=repl,
+            program=repl, mat_bits=repl,
+        )
+        rays_sh = RayBatch(pos=shard, vel=shard, life=shard)
+        from python_raytracer_tpu.ops.march import HitRecords
+
+        hits_sh = HitRecords(vid=shard, u=shard, flip=shard, count=shard,
+                             cell=None)
+        f_fwd = jax.jit(fwd, in_shardings=(arrays_sh, rays_sh, repl),
+                        out_shardings=hits_sh)
+        f_bwd = jax.jit(
+            bwd,
+            in_shardings=(arrays_sh, repl, hits_sh, shard, shard),
+            out_shardings=(arrays_sh, repl, repl))
+
+    def step(arrays: SceneArrays, opt_state, rays: RayBatch, target, key):
+        hits = f_fwd(arrays, rays, key)
+        return f_bwd(arrays, opt_state, hits, rays.vel, target)
+
+    step.f_fwd = f_fwd
+    step.f_bwd = f_bwd
+    return step
