@@ -266,6 +266,8 @@ def main():
         unroll=int(os.environ.get("BENCH_BLOCK_UNROLL", "1")),
         byte_planes=os.environ.get("BENCH_BYTE_PLANES", "0") == "1",
         group_coarse=os.environ.get("BENCH_GROUP_COARSE", "0") == "1",
+        pages=int(os.environ.get("BENCH_PAGES", "1")),
+        resort_life=os.environ.get("BENCH_RESORT_LIFE", "0") == "1",
     )
 
     st = default_settings().replace(exact=False, static=False)

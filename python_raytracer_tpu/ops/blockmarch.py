@@ -202,8 +202,16 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                  record_traversed: bool = False, byte_planes: bool = False,
                  group_coarse: bool = False, tape_rows: int = 0,
                  tape_len: int = 0, voxel_mode: bool = False,
-                 record_cells: bool = False):
+                 record_cells: bool = False, pages: int = 1):
     """Build the kernel body (all settings/geometry static).
+
+    ``pages`` > 1: each group holds P resident chunk blocks instead of one
+    (bufs [groups, P, rows, 128]); the per-episode vote loads into slot
+    ``ep % P`` and lanes whose chunk is resident in ANY slot stay active,
+    so diverged groups freeze fewer lanes per episode. The cell fetch runs
+    one gated matmul per resident slot with the one-hot masked to that
+    slot's lanes (each lane matches at most one slot, so the accumulated
+    picks are exact). pages=1 traces the exact original program.
 
     ``voxel_mode``: blocks carry 3 extra 32-row albedo groups
     (pack_blocks(voxel_albedo=...)) applied as per-hit albedo offsets;
@@ -279,32 +287,79 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
             stall = (flags >> _STALL_SHIFT) & _STALL_MAX
             page = flags >> _PAGE_SHIFT
 
+            def resident_of(pg):
+                # closure over the CURRENT `loaded` binding (pre-vote in the
+                # needing test, post-vote inside the inner loop)
+                r = pg == loaded[0]
+                for l in loaded[1:]:
+                    r = r | (pg == l)
+                return r
+
             # --- vote + DMA: each group fetches the page its most-starved
             # waiting lane needs (max over stall<<12|page guarantees every
             # waiting lane is eventually served) ---
-            needing = alive & (cres > 0) & (page != loaded)
+            if pages == 1:
+                needing = alive & (cres > 0) & (page != loaded[0])
+            else:
+                needing = alive & (cres > 0) & ~resident_of(page)
             votekey = jnp.where(needing, (stall << 20) | page, -1)
-            new_loaded = loaded
-            fetches = []
-            for g in range(groups):
-                vk = jnp.max(votekey[g * 256:(g + 1) * 256])
-                vote = jnp.where(vk >= 0, vk & 0xFFFFF, loaded[g * 256])
-                safe = jnp.clip(vote, 0, blocks_hbm.shape[0] - 1)
-                pred = vk >= 0  # groups with no waiting lane skip the fetch
-                if "nodma" not in _abl:
-                    fetches.append((g, pred, safe))
+            if pages == 1:
+                new_loaded = loaded[0]
+                fetches = []
+                for g in range(groups):
+                    vk = jnp.max(votekey[g * 256:(g + 1) * 256])
+                    vote = jnp.where(vk >= 0, vk & 0xFFFFF,
+                                     loaded[0][g * 256])
+                    safe = jnp.clip(vote, 0, blocks_hbm.shape[0] - 1)
+                    pred = vk >= 0  # groups w/o waiting lanes skip the fetch
+                    if "nodma" not in _abl:
+                        fetches.append((g, pred, safe))
 
+                        @pl.when(pred)
+                        def _(g=g, safe=safe):
+                            pltpu.make_async_copy(blocks_hbm.at[safe],
+                                                  bufs.at[g],
+                                                  sems.at[g]).start()
+                    new_loaded = jnp.where(group_of == g, vote, new_loaded)
+                for g, pred, safe in fetches:
                     @pl.when(pred)
                     def _(g=g, safe=safe):
                         pltpu.make_async_copy(blocks_hbm.at[safe], bufs.at[g],
-                                              sems.at[g]).start()
-                new_loaded = jnp.where(group_of == g, vote, new_loaded)
-            for g, pred, safe in fetches:
-                @pl.when(pred)
-                def _(g=g, safe=safe):
-                    pltpu.make_async_copy(blocks_hbm.at[safe], bufs.at[g],
-                                          sems.at[g]).wait()
-            loaded = new_loaded
+                                              sems.at[g]).wait()
+                loaded = (new_loaded,)
+            else:
+                # multi-page residency: the vote replaces slot ep % P, so a
+                # diverged group accumulates up to P live chunk blocks and
+                # freezes fewer lanes per episode. One DMA per group per
+                # episode (sems[g] is single-slot), same as pages=1.
+                slotp = [jax.lax.rem(ep, jnp.int32(pages)) == p
+                         for p in range(pages)]
+                new_loaded = list(loaded)
+                fetches = []
+                for g in range(groups):
+                    vk = jnp.max(votekey[g * 256:(g + 1) * 256])
+                    vote = vk & 0xFFFFF
+                    safe = jnp.clip(vote, 0, blocks_hbm.shape[0] - 1)
+                    pred = vk >= 0
+                    if "nodma" not in _abl:
+                        fetches.append((g, pred, safe))
+                        for p in range(pages):
+                            @pl.when(pred & slotp[p])
+                            def _(g=g, p=p, safe=safe):
+                                pltpu.make_async_copy(blocks_hbm.at[safe],
+                                                      bufs.at[g, p],
+                                                      sems.at[g]).start()
+                    for p in range(pages):
+                        sel = (group_of == g) & pred & slotp[p]
+                        new_loaded[p] = jnp.where(sel, vote, new_loaded[p])
+                for g, pred, safe in fetches:
+                    for p in range(pages):
+                        @pl.when(pred & slotp[p])
+                        def _(g=g, p=p, safe=safe):
+                            pltpu.make_async_copy(blocks_hbm.at[safe],
+                                                  bufs.at[g, p],
+                                                  sems.at[g]).wait()
+                loaded = tuple(new_loaded)
 
             # --- inner march loop: lanes in a loaded chunk or in void ---
             def inner_cond(c):
@@ -321,7 +376,7 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 cmy = F_out[_F_CMIN + 1]
                 cmz = F_out[_F_CMIN + 2]
 
-                active = alive & ((cres == 0) | (page == loaded))
+                active = alive & ((cres == 0) | resident_of(page))
 
                 # 1. active-chunk hysteresis (ops/march.py step 1,
                 #    reference init.py:67-73)
@@ -420,7 +475,7 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
 
                 # lanes that switched into an unloaded chunk freeze NOW
                 # (resumed bit-exactly on a later episode / cleanup)
-                active = active & ((cres == 0) | (page == loaded))
+                active = active & ((cres == 0) | resident_of(page))
 
                 # 2. cell-word fetch from the group's VMEM block
                 #    (ops/march.py step 2, reference init.py:76-77)
@@ -442,7 +497,7 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 # masked to 0 below. This is the dominant per-trip cost, and
                 # in diverged tiles most group-trips are inactive.
                 need_word = active & (cres > 0) & in_content
-                if "nocell" not in _abl:
+                if "nocell" not in _abl and pages == 1:
                     for g in range(groups):
                         sl = slice(g * 256, (g + 1) * 256)
 
@@ -474,6 +529,53 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                                         picked[2 + ch, sl] = _sublane_pick(
                                             rows_T, lo[sl] + 64 + 32 * ch,
                                             brows, 256)
+                elif "nocell" not in _abl:
+                    # multi-page: one gated matmul per (group, resident
+                    # slot), one-hot masked to the lanes whose chunk lives
+                    # in that slot; a lane matches at most one slot so the
+                    # accumulated picks are exact. Rows are zeroed first —
+                    # skipped slots must not leave stale contributions.
+                    nrows = 4 if byte_planes else (5 if voxel_mode else 2)
+                    for g in range(groups):
+                        sl = slice(g * 256, (g + 1) * 256)
+                        for r_ in range(nrows):
+                            picked[r_, sl] = jnp.zeros((256,), jnp.float32)
+                        for p in range(pages):
+                            match = need_word[sl] & (page[sl]
+                                                     == loaded[p][sl])
+
+                            @pl.when(jnp.any(match))
+                            def _(g=g, p=p, match=match, sl=sl):
+                                mhi = jnp.where(match, hi[sl], -1)
+                                if byte_planes:
+                                    oh = _onehot_T(mhi, 128, 256,
+                                                   jnp.bfloat16)
+                                    for b in range(4):
+                                        rows_T = jnp.dot(
+                                            bufs[g, p, b], oh,
+                                            preferred_element_type=jnp.float32)
+                                        picked[b, sl] = picked[b, sl] + \
+                                            _sublane_pick(rows_T, lo[sl],
+                                                          32, 256)
+                                else:
+                                    oh = _onehot_T(mhi, 128, 256)
+                                    rows_T = jnp.dot(
+                                        bufs[g, p], oh,
+                                        preferred_element_type=jnp.float32)
+                                    picked[0, sl] = picked[0, sl] + \
+                                        _sublane_pick(rows_T, lo[sl],
+                                                      brows, 256)
+                                    picked[1, sl] = picked[1, sl] + \
+                                        _sublane_pick(rows_T, lo[sl] + 32,
+                                                      brows, 256)
+                                    if voxel_mode:
+                                        for ch in range(3):
+                                            picked[2 + ch, sl] = \
+                                                picked[2 + ch, sl] + \
+                                                _sublane_pick(
+                                                    rows_T,
+                                                    lo[sl] + 64 + 32 * ch,
+                                                    brows, 256)
                 if byte_planes:
                     word = (picked[0, :].astype(jnp.int32)
                             | (picked[1, :].astype(jnp.int32) << 8)
@@ -705,7 +807,7 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 # invariant and increments are uniform per tile)
                 I_out[_I_TRIPS] = I_out[_I_TRIPS] + 1
 
-                return jnp.any(alive & ((cres == 0) | (page == loaded)))
+                return jnp.any(alive & ((cres == 0) | resident_of(page)))
 
             def inner_body(c):
                 it, _ = c
@@ -725,14 +827,17 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
             cres = (flags >> _CRES_SHIFT) & 7
             page = flags >> _PAGE_SHIFT
             stall = (flags >> _STALL_SHIFT) & _STALL_MAX
-            waiting = alive & (cres > 0) & (page != loaded)
+            if pages == 1:
+                waiting = alive & (cres > 0) & (page != loaded[0])
+            else:
+                waiting = alive & (cres > 0) & ~resident_of(page)
             stall = jnp.minimum(stall + waiting.astype(jnp.int32), _STALL_MAX)
             I_out[_I_FLAGS] = ((flags & ~(_STALL_MAX << _STALL_SHIFT))
                                | (stall << _STALL_SHIFT))
             I_out[_I_EPS] = I_out[_I_EPS] + 1
             return ep + 1, jnp.any(alive), loaded
 
-        loaded0 = jnp.full((w,), -1, jnp.int32)
+        loaded0 = tuple(jnp.full((w,), -1, jnp.int32) for _ in range(pages))
         jax.lax.while_loop(episode_cond, episode_body,
                            (jnp.zeros((), jnp.int32), jnp.array(True),
                             loaded0))
@@ -779,6 +884,8 @@ def march_blockwise(
     group_coarse: bool = False,
     voxel_albedo=None,
     record_cells: bool = False,
+    pages: int = 1,
+    resort_life: bool = False,
 ) -> MarchResult:
     """Bit-exact drop-in for ``march(mode="while")`` in key-RNG mode.
 
@@ -815,6 +922,9 @@ def march_blockwise(
             raise ValueError("blockmarch tape mode needs <= 256 draws/ray")
     if voxel_albedo is not None and byte_planes:
         raise ValueError("voxel_albedo needs f32-halves blocks")
+    if pages not in (1, 2, 3, 4):
+        raise ValueError("pages (resident chunk blocks per group) must be "
+                         "1..4 — VMEM budget")
 
     n = rays.pos.shape[0]
     dtype = jnp.float32
@@ -894,7 +1004,7 @@ def march_blockwise(
                           byte_planes=byte_planes, group_coarse=group_coarse,
                           tape_rows=Dpad if use_tape else 0, tape_len=D,
                           voxel_mode=voxel_mode,
-                          record_cells=record_cells and H > 0)
+                          record_cells=record_cells and H > 0, pages=pages)
     grid = (npad // w,)
     state_spec = lambda rows: pl.BlockSpec((rows, w), lambda t, s: (0, t),
                                            memory_space=pltpu.VMEM)
@@ -921,10 +1031,16 @@ def march_blockwise(
                            pl.BlockSpec((1, czp, cxyp), lambda t, s: (t, 0, 0),
                                         memory_space=pltpu.VMEM)],
                 scratch_shapes=[
-                    (pltpu.VMEM((groups, 4, 32, 128), jnp.bfloat16)
-                     if byte_planes else
-                     pltpu.VMEM((groups, 160 if voxel_mode else 64, 128),
-                                jnp.float32)),
+                    ((pltpu.VMEM((groups, 4, 32, 128), jnp.bfloat16)
+                      if byte_planes else
+                      pltpu.VMEM((groups, 160 if voxel_mode else 64, 128),
+                                 jnp.float32))
+                     if pages == 1 else
+                     (pltpu.VMEM((groups, pages, 4, 32, 128), jnp.bfloat16)
+                      if byte_planes else
+                      pltpu.VMEM((groups, pages,
+                                  160 if voxel_mode else 64, 128),
+                                 jnp.float32))),
                     pltpu.SemaphoreType.DMA((groups,)),
                     pltpu.VMEM(((4 if byte_planes else
                                  (5 if voxel_mode else 2))
@@ -949,9 +1065,23 @@ def march_blockwise(
         alive_f = flags & 1
         stall_f = (flags >> _STALL_SHIFT) & _STALL_MAX
         page_f = flags >> _PAGE_SHIFT
-        key_f = jnp.where(alive_f > 0,
-                          ((_STALL_MAX - stall_f) << 24) | page_f,
-                          jnp.int32(2 ** 30))
+        pb = max(1, int(blocks.shape[0] - 1).bit_length())
+        if resort_life and pb <= 21:
+            # secondary remaining-life bucket: rays with similar work left
+            # share tiles, so tiles drain together instead of each paying
+            # for its single longest lane (the measured 8.5x trip waste)
+            rem = jnp.maximum(F2[_F_LIFE] - F2[_F_STEP], 0.0)
+            bucket = jnp.minimum(
+                (rem * (15.0 / float(settings.dist_max))).astype(jnp.int32),
+                15)
+            key_f = jnp.where(
+                alive_f > 0,
+                ((_STALL_MAX - stall_f) << (pb + 4)) | (page_f << 4) | bucket,
+                jnp.int32(2 ** 30))
+        else:
+            key_f = jnp.where(alive_f > 0,
+                              ((_STALL_MAX - stall_f) << 24) | page_f,
+                              jnp.int32(2 ** 30))
         ops = ([key_f, sid_s] + [F2[i] for i in range(F_ROWS)]
                + [I2[i] for i in range(5)] + [R2[i] for i in range(rrows)])
         out = jax.lax.sort(ops, dimension=0, is_stable=False, num_keys=1)

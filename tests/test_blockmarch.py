@@ -449,3 +449,48 @@ def test_voxel_grid_gradients_block_forward(scene):
         assert np.abs(np.asarray(gv_b)).sum() > 0
     finally:
         B.march_blockwise = orig
+
+
+def test_blockmarch_pages_bitexact(scene):
+    """Multi-page VMEM residency (pages=2): diverged groups keep two chunk
+    blocks live and fewer lanes freeze per episode — same results to the
+    bit, incl. the hit tape (the kernel's freeze/resume order is already
+    proven order-independent; this checks the slot-masked accumulation)."""
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(3)
+    rays = _rays(st, cam_pos, cam_rot, 2048, key)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used, record_hits=16)
+    out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                          background="sky", programs_used=cs.programs_used,
+                          record_hits=16, pages=2, ep_cap=6, inner_cap=8,
+                          supersteps=2, interpret=True)
+    _assert_same(ref, out)
+
+
+def test_blockmarch_pages_byte_planes_bitexact(scene):
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(5)
+    rays = _rays(st, cam_pos, cam_rot, 1024, key)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used, record_hits=16)
+    out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                          background="sky", programs_used=cs.programs_used,
+                          record_hits=16, pages=3, byte_planes=True,
+                          ep_cap=5, inner_cap=6, interpret=True)
+    _assert_same(ref, out)
+
+
+def test_blockmarch_resort_life_bitexact(scene):
+    """Remaining-life superstep re-sort key: pure scheduling change, results
+    identical to the bit."""
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(7)
+    rays = _rays(st, cam_pos, cam_rot, 2048, key)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used, record_hits=16)
+    out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                          background="sky", programs_used=cs.programs_used,
+                          record_hits=16, supersteps=3, resort_life=True,
+                          ep_cap=4, inner_cap=6, interpret=True)
+    _assert_same(ref, out)
