@@ -127,6 +127,14 @@ def _parent(deadline_sec: float):
         if rc is None:
             proc.kill()
             proc.wait()
+            # drain anything the child flushed before the kill so a best
+            # line racing the deadline is never dropped (same rationale as
+            # the crash-path drain above)
+            try:
+                for line in proc.stdout:
+                    handle(line)
+            except (OSError, ValueError):
+                pass
         if done:
             break
         if saw_event:
@@ -449,6 +457,50 @@ def main():
             _push_best()
         except Exception as e:  # fallback must never sink the bench
             _BEST["detail"]["stage0_error"] = repr(e)[:200]
+
+    # Stage 0.5: fwd+bwd through the XLA while-march + replay backward —
+    # the slowest forward but a REAL number for the headline fwd+bwd metric
+    # even if every kernel compile misses the cache. BENCH_STAGE05=0 skips.
+    if (os.environ.get("BENCH_STAGE05", "1") == "1" and not compact
+            and not fwd_only and block):
+        try:
+            _BEST["detail"]["phase"] = "stage05-while-fwdbwd-compile"
+            from python_raytracer_tpu.ops.diff import _replay as _replay05
+
+            mh05 = int(os.environ.get("BENCH_MAX_HITS", "12"))
+
+            def while_hits(table, rays):
+                arrays = dataclasses.replace(cs.arrays, material_table=table)
+                res = march(st, cs.spec, arrays, rays, key=key,
+                            background="sky", mode="while",
+                            programs_used=cs.programs_used, record_hits=mh05)
+                return jnp.mean(res.color / 255.0), res.hits
+
+            def bwd05_loss(table, hits, v0):
+                color, _ = _replay05(table, st, hits, v0, "sky",
+                                     cs.programs_used, cs.arrays.program)
+                return jnp.mean(color / 255.0)
+
+            f05 = jax.jit(while_hits)
+            b05 = jax.jit(jax.grad(bwd05_loss))
+            _, hits05 = f05(table, rays)
+            fence(b05(table, hits05, rays.vel))
+            rtt = _rtt_ms()
+            t0 = time.time()
+            _, hits05 = f05(table, rays)
+            out05 = b05(table, hits05, rays.vel)
+            fence(out05)
+            dt05 = max(1e-9, (time.time() - t0) - rtt / 1e3)
+            m05 = n_rays / dt05 / 1e6
+            _BEST.update(
+                metric="Mrays/s/chip fwd+bwd on default scene",
+                value=round(m05, 4), vs_baseline=round(m05 / 100.0, 6),
+                detail={**detail_base(), "phase": "stage05-while-fwdbwd",
+                        "sec_per_iter": round(dt05, 4)},
+            )
+            _push_best()
+        except Exception as e:  # fallback must never sink the bench
+            _BEST["detail"]["stage05_error"] = repr(e)[:200]
 
     # Stage 1 (unless already the target): a forward-only measurement so the
     # watchdog always holds a REAL number even if the backward compile
