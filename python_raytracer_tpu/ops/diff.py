@@ -40,12 +40,15 @@ from python_raytracer_tpu.utils.mathutils import cheb_normalize
 
 def _replay(table, settings: Settings, records: HitRecords, v0,
             background: Optional[str], programs_used=(0,), program_ids=None,
-            voxel_albedo=None):
+            voxel_albedo=None, unroll: int = 1):
     """Re-run the shading chain from the hit tape. Produces bit-identical
     color/energy to the forward march given the same records.
     ``voxel_albedo``: the per-cell albedo offset grid (requires
     ``records.cell``) — gradients route into it through the gather's
-    scatter-add VJP (SURVEY.md §7 stage 5 optional extension)."""
+    scatter-add VJP (SURVEY.md §7 stage 5 optional extension).
+    ``unroll``: scan unroll factor — unrolled steps keep the carry in
+    registers instead of round-tripping HBM each hit (identical arithmetic,
+    XLA fuses across steps; A/B on TPU before changing the default)."""
     n, h = records.vid.shape
     dtype = v0.dtype
     # Registered custom ray properties thread through the replay exactly as
@@ -115,7 +118,8 @@ def _replay(table, settings: Settings, records: HitRecords, v0,
     # and the VJP measured 2x slower than recompute (25.8 -> 12.2 ms at
     # N=393k, H=16 on TPU v5e).
     ck_step = jax.checkpoint(hit_step, prevent_cse=False)
-    (color, energy, vel, bounces, _, _), _ = jax.lax.scan(ck_step, init, recs)
+    (color, energy, vel, bounces, _, _), _ = jax.lax.scan(
+        ck_step, init, recs, unroll=unroll)
 
     bg = P.resolve_background(background)
     if bg is not None:
