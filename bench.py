@@ -169,6 +169,74 @@ def _parent(deadline_sec: float):
     _emit(best)
 
 
+_EXEC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_exec")
+
+
+def _program_fingerprint(fn, args, knobs, extra_src=()):
+    """Content key for a serialized executable: the traced jaxpr (host-side
+    tracing only — no device work), jax version, the knob dict, and optional
+    source files whose code the program depends on beyond the traced fwd
+    (e.g. ops/diff.py for the replay backward). Conservative by design: a
+    mismatch only means falling back to the persistent cache / cold compile.
+    """
+    import hashlib
+
+    import jax
+    h = hashlib.sha256()
+    h.update(jax.version.__version__.encode())
+    h.update(json.dumps(knobs, sort_keys=True, default=str).encode())
+    for p in extra_src:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    cj = jax.make_jaxpr(fn)(*args)
+    h.update(str(cj).encode())
+    # Scene content rides into the program as closed-over constants; hash a
+    # bounded subsample of each const so a scene edit that keeps shapes
+    # invalidates the artifact without a multi-MB tunnel readback.
+    for c in cj.consts:
+        arr = np.asarray(jax.device_get(c)).ravel()
+        h.update(str(arr.dtype).encode() + str(arr.shape).encode())
+        h.update(arr[:: max(1, arr.size // 8192)].tobytes())
+    return h.hexdigest()[:20]
+
+
+def _exec_save(path, compiled):
+    import pickle
+    from jax.experimental import serialize_executable as SE
+    os.makedirs(_EXEC_DIR, exist_ok=True)
+    payload = SE.serialize(compiled)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+    return os.path.getsize(path)
+
+
+def _exec_load(path):
+    import pickle
+    from jax.experimental import serialize_executable as SE
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    return SE.deserialize_and_load(*payload)
+
+
+def _tpu_checks_event():
+    """Report the last tools/tpu_checks.py result (written by warm runs) so
+    every BENCH tail carries a hardware-equality pass/fail stamp (VERDICT r3
+    item 7). The check itself compiles kernels, so deadline-bound runs only
+    *read* the stamp; warm sessions refresh it."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".tpu_checks.json")
+    try:
+        with open(path) as f:
+            st = json.load(f)
+        return {"ok": bool(st.get("ok")), "age_h": round(
+            (time.time() - float(st.get("ts", 0))) / 3600.0, 1)}
+    except Exception:
+        return {"ok": None, "age_h": None}
+
+
 def _device_health_ms():
     """Milliseconds for 10 dependent 1024^3 matmuls (healthy v5e: < 10 ms
     plus one tunnel round-trip).
@@ -245,6 +313,8 @@ def main():
     print(json.dumps({"event": "health", "matmul10_ms": round(health, 1),
                       "waited_sec": waited, "degraded": degraded}),
           file=sys.stderr)
+    tpu_checks = _tpu_checks_event()
+    print(json.dumps({"event": "tpu_checks", **tpu_checks}), flush=True)
 
     from python_raytracer_tpu.models.default import build_default_scene, default_settings
     from python_raytracer_tpu.ops.camera import generate_rays, pixel_grid
@@ -401,6 +471,7 @@ def main():
             return (loss, aux), g
 
     table = cs.arrays.material_table
+    _tstate = {"transport": "jit"}
 
     def detail_base():
         return {
@@ -409,6 +480,8 @@ def main():
             "ladder": ladder, "unroll": unroll, "degraded": degraded,
             "health_matmul10_ms": round(health, 1),
             "device": str(jax.devices()[0]),
+            "transport": _tstate["transport"],
+            "tpu_checks": tpu_checks,
         }
 
     def fence(out):
@@ -502,11 +575,54 @@ def main():
         except Exception as e:  # fallback must never sink the bench
             _BEST["detail"]["stage05_error"] = repr(e)[:200]
 
+    # Stage 0.75: serialized-executable transport for the kernel programs
+    # (VERDICT r3 item 1). A prior warm run saved the AOT-compiled fwd
+    # kernel + replay backward under a content fingerprint; loading them
+    # costs seconds, so a deadline-bound driver run measures the REAL
+    # production path without ever touching the compile service.
+    exec_fp = exec_fwd_path = exec_bwd_path = None
+    exec_loaded = False
+    if not fwd_only and not compact and block and "f_fwd" in dir():
+        try:
+            _BEST["detail"]["phase"] = "exec-fingerprint"
+            import python_raytracer_tpu.ops.diff as _dm
+            import python_raytracer_tpu.ops.programs as _pm
+            import python_raytracer_tpu.utils.rng as _rm
+            exec_fp = _program_fingerprint(
+                fwd, (table, rays),
+                {"rays": n_rays, "block_kw": block_kw, "max_hits": max_hits},
+                extra_src=[m.__file__ for m in (_dm, _pm, _rm)])
+            exec_fwd_path = os.path.join(_EXEC_DIR, f"fwd-{exec_fp}.pkl")
+            exec_bwd_path = os.path.join(_EXEC_DIR, f"bwd-{exec_fp}.pkl")
+            have = (os.path.exists(exec_fwd_path)
+                    and os.path.exists(exec_bwd_path))
+            print(json.dumps({"event": "exec-fp", "fp": exec_fp,
+                              "have": have}), flush=True)
+            if have:
+                _BEST["detail"]["phase"] = "exec-load"
+                xf = _exec_load(exec_fwd_path)
+                xb = _exec_load(exec_bwd_path)
+
+                def fn_exec(table, rays):
+                    loss, hits, aux = xf(table, rays)
+                    g = xb(table, hits, rays.vel)
+                    return (loss, aux), g
+
+                fence(fn_exec(table, rays))  # smoke before replacing fn
+                fn = fn_exec
+                exec_loaded = True
+                _tstate["transport"] = "deserialized"
+        except Exception as e:
+            _BEST["detail"]["exec_error"] = repr(e)[:200]
+
     # Stage 1 (unless already the target): a forward-only measurement so the
     # watchdog always holds a REAL number even if the backward compile
     # exceeds the deadline. Uses the SAME jitted f_fwd program as the main
     # fwd+bwd phase (hit tape included), so its compile is paid exactly once.
-    if not fwd_only and not compact and block and "f_fwd" in dir():
+    # Skipped when the deserialized executables are live: the jit would
+    # re-enter the compile service if the persistent cache lacks the entry.
+    if (not fwd_only and not compact and block and "f_fwd" in dir()
+            and not exec_loaded):
         try:
             _BEST["detail"]["phase"] = "fwd-only-compile"
             fence(f_fwd(table, rays))
@@ -532,6 +648,25 @@ def main():
     t0 = time.time()
     fence(fn(table, rays))
     compile_s = time.time() - t0
+
+    # Persist the AOT executables the moment the compile lands, so every
+    # future run (including the driver's) takes the stage-0.75 fast path.
+    # lower().compile() hits the persistent cache the jit call just wrote.
+    if exec_fp and not exec_loaded:
+        try:
+            _BEST["detail"]["phase"] = "exec-save"
+            fsz = _exec_save(exec_fwd_path,
+                             jax.jit(fwd).lower(table, rays).compile())
+            _, hits_x, _ = f_fwd(table, rays)
+            bsz = _exec_save(
+                exec_bwd_path,
+                jax.jit(jax.grad(bwd_loss)).lower(
+                    table, hits_x, rays.vel).compile())
+            print(json.dumps({"event": "exec-saved", "fp": exec_fp,
+                              "fwd_bytes": fsz, "bwd_bytes": bsz}),
+                  flush=True)
+        except Exception as e:
+            _BEST["detail"]["exec_save_error"] = repr(e)[:200]
 
     detail = {**detail_base(), "compile_sec": round(compile_s, 1)}
 

@@ -116,7 +116,7 @@ def _pad_to(x, mult):
 
 
 def pack_blocks(spec: GridSpec, cell_word, chunk_res, byte_planes=False,
-                voxel_albedo=None):
+                voxel_albedo=None, page_map=None):
     """cell_word flat [X*Y*Z] -> (blocks, coarse f32).
 
     Default (f32 halves): blocks [C, 64, 128] f32 — blocks[c, lo, hi] = low
@@ -135,6 +135,8 @@ def pack_blocks(spec: GridSpec, cell_word, chunk_res, byte_planes=False,
     same one-hot lookup as the cell word (f32 halves mode only).
 
     coarse[cz, cx*CY+cy] = chunk_res | chunk_flat<<3 (exact in f32: <= 2^24).
+    ``page_map`` [C] int32 replaces chunk_flat as the page field — resident
+    mode remaps chunk ids to compacted VMEM-pool slots (march_blockwise).
     Jittable; rebuilt on bake updates (cheap reshapes, no gathers).
     """
     cs = spec.chunk_size
@@ -163,7 +165,10 @@ def pack_blocks(spec: GridSpec, cell_word, chunk_res, byte_planes=False,
             parts += [to_lohi(va[:, ch]) for ch in range(3)]
         blocks = jnp.concatenate(parts, axis=1)  # [C, 64 or 160, 128]
 
-    flat = jnp.arange(CX * CY * CZ, dtype=jnp.int32)
+    if page_map is None:
+        flat = jnp.arange(CX * CY * CZ, dtype=jnp.int32)
+    else:
+        flat = jnp.asarray(page_map, jnp.int32)
     cword = chunk_res.astype(jnp.int32) | (flat << 3)
     cword = cword.reshape(CX, CY, CZ).transpose(2, 0, 1).reshape(CZ, CX * CY)
     coarse = jnp.zeros((_pad_to(CZ, 8), _pad_to(CX * CY, 8)), jnp.float32)
@@ -171,16 +176,21 @@ def pack_blocks(spec: GridSpec, cell_word, chunk_res, byte_planes=False,
     return blocks, coarse
 
 
-def pack_mat_rows(table):
+def pack_mat_rows(table, program=None):
     """Material table [K, NUM_PARAMS] -> [8, Kpad] param-major f32 plane for
     the transposed one-hot fetch (rows: albedo r/g/b, roughness, absorption,
-    ior, energy, pad)."""
+    ior, energy, pad). ``program`` [K] int32 fills row 7 with per-material
+    program ids (exact in f32) for the kernel's multi-program dispatch."""
     perm = [M.PARAM_ALBEDO_R, M.PARAM_ALBEDO_G, M.PARAM_ALBEDO_B,
             M.PARAM_ROUGHNESS, M.PARAM_ABSORPTION, M.PARAM_IOR,
             M.PARAM_ENERGY]
     k = table.shape[0]
     out = jnp.zeros((8, _pad_to(k, 8)), jnp.float32)
-    return out.at[:7, :k].set(table.astype(jnp.float32).T[jnp.array(perm)])
+    out = out.at[:7, :k].set(table.astype(jnp.float32).T[jnp.array(perm)])
+    if program is not None:
+        out = out.at[7, :k].set(jnp.asarray(program, jnp.int32)
+                                .astype(jnp.float32))
+    return out
 
 
 def _onehot_T(idx, k, w, dtype=jnp.float32):
@@ -202,7 +212,9 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                  record_traversed: bool = False, byte_planes: bool = False,
                  group_coarse: bool = False, tape_rows: int = 0,
                  tape_len: int = 0, voxel_mode: bool = False,
-                 record_cells: bool = False, pages: int = 1):
+                 record_cells: bool = False, pages: int = 1,
+                 resident: bool = False,
+                 programs_used: Tuple[int, ...] = (M.PROGRAM_PBR,)):
     """Build the kernel body (all settings/geometry static).
 
     ``pages`` > 1: each group holds P resident chunk blocks instead of one
@@ -225,6 +237,15 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
     sublane picks at ptr..ptr+2 (clipped to tape_len-1, matching
     ops/march.py draws_for_iteration), and ptr advances by 3 per rough hit
     instead of the key-mode progress counter.
+
+    ``resident``: the whole (occupied-chunk) block pool lives in VMEM as a
+    kernel input — the scene fits (~225 chunks x 16-32 KiB, vs ~16 MB VMEM)
+    — so the vote+DMA episode machinery disappears: a single trip loop
+    votes a served page per group per trip and the cell fetch reads
+    ``pool[served]`` directly. A lane whose chunk is not the served page
+    freezes for ONE trip instead of one episode (the measured 8.5x trip
+    imbalance of the episode design). Freeze/resume order never changes
+    results: PRNG draws are keyed by per-ray progress counters.
 
     BM_ABL env flags (perf ablations — WRONG results, timing only):
     nodma (skip block DMAs), nocell (skip the cell-word lookup matmuls),
@@ -258,7 +279,12 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
             i += 1
         blocks_hbm, coarse_ref, mat_ref = args[i:i + 3]
         F_out, I_out, R_out, T_out = args[i + 3:i + 7]
-        bufs, sems, picked = args[i + 7:i + 10]
+        if resident:
+            # blocks_hbm is actually the VMEM-resident pool; no DMA scratch
+            (picked,) = args[i + 7:i + 8]
+            bufs = sems = None
+        else:
+            bufs, sems, picked = args[i + 7:i + 10]
         F_out[:] = F_in[:]
         I_out[:] = I_in[:]
         if H:
@@ -306,13 +332,18 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
             if pages == 1:
                 new_loaded = loaded[0]
                 fetches = []
+                served = []  # resident: per-group served-page scalar
                 for g in range(groups):
                     vk = jnp.max(votekey[g * 256:(g + 1) * 256])
                     vote = jnp.where(vk >= 0, vk & 0xFFFFF,
                                      loaded[0][g * 256])
                     safe = jnp.clip(vote, 0, blocks_hbm.shape[0] - 1)
                     pred = vk >= 0  # groups w/o waiting lanes skip the fetch
-                    if "nodma" not in _abl:
+                    if resident:
+                        # no DMA: the pool is VMEM-resident; the cell fetch
+                        # below reads blocks_hbm[safe] directly
+                        served.append(safe)
+                    elif "nodma" not in _abl:
                         fetches.append((g, pred, safe))
 
                         @pl.when(pred)
@@ -503,20 +534,26 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
 
                         @pl.when(jnp.any(need_word[sl]))
                         def _(g=g, sl=sl):
+                            # resident: read the served page straight out of
+                            # the VMEM pool (dynamic leading-dim index);
+                            # otherwise the group's DMA-staged buffer
                             if byte_planes:
                                 # 4 single-pass bf16 byte-plane matmuls
                                 # (exact: bytes <= 255, one-hot contraction)
                                 oh = _onehot_T(hi[sl], 128, 256, jnp.bfloat16)
                                 for b in range(4):
                                     rows_T = jnp.dot(
-                                        bufs[g, b], oh,
+                                        blocks_hbm[served[g], b] if resident
+                                        else bufs[g, b], oh,
                                         preferred_element_type=jnp.float32)
                                     picked[b, sl] = _sublane_pick(
                                         rows_T, lo[sl], 32, 256)
                             else:
                                 oh = _onehot_T(hi[sl], 128, 256)
                                 rows_T = jnp.dot(
-                                    bufs[g], oh,
+                                    blocks_hbm[served[g]] if resident
+                                    else bufs[g],
+                                    oh,
                                     preferred_element_type=jnp.float32)
                                 picked[0, sl] = _sublane_pick(rows_T, lo[sl],
                                                               brows, 256)
@@ -646,21 +683,57 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                     u1 = jnp.where(need_draw, u1, 0.5)
                     u2 = jnp.where(need_draw, u2, 0.5)
 
-                    absb = jnp.minimum(
-                        1.0, absorb / (1.0 + bounces) ** falloff_e)
-                    cr = jnp.where(hit, color_r * (1 - absb) + alb_r * absb,
-                                   color_r)
-                    cg = jnp.where(hit, color_g * (1 - absb) + alb_g * absb,
-                                   color_g)
-                    cb = jnp.where(hit, color_b * (1 - absb) + alb_b * absb,
-                                   color_b)
-                    en = jnp.where(hit, energy * (1 - absb) + menergy * absb,
-                                   energy)
-                    bounce = absorb
-                    lf = jnp.where(hit, life * (1.0 - rough * absb), life)
-                    nvx = jnp.where(hit, vx + (-1.0 + u0 * 2.0) * rough, vx)
-                    nvy = jnp.where(hit, vy + (-1.0 + u1 * 2.0) * rough, vy)
-                    nvz = jnp.where(hit, vz + (-1.0 + u2 * 2.0) * rough, vz)
+                    if tuple(programs_used) == (M.PROGRAM_PBR,):
+                        # inline builtin PBR (reference lib.py:448-460) — the
+                        # single-program fast path, trace-identical to the
+                        # original kernel
+                        absb = jnp.minimum(
+                            1.0, absorb / (1.0 + bounces) ** falloff_e)
+                        cr = jnp.where(hit,
+                                       color_r * (1 - absb) + alb_r * absb,
+                                       color_r)
+                        cg = jnp.where(hit,
+                                       color_g * (1 - absb) + alb_g * absb,
+                                       color_g)
+                        cb = jnp.where(hit,
+                                       color_b * (1 - absb) + alb_b * absb,
+                                       color_b)
+                        en = jnp.where(hit,
+                                       energy * (1 - absb) + menergy * absb,
+                                       energy)
+                        bounce = absorb
+                        lf = jnp.where(hit, life * (1.0 - rough * absb), life)
+                        nvx = jnp.where(hit, vx + (-1.0 + u0 * 2.0) * rough,
+                                        vx)
+                        nvy = jnp.where(hit, vy + (-1.0 + u1 * 2.0) * rough,
+                                        vy)
+                        nvz = jnp.where(hit, vz + (-1.0 + u2 * 2.0) * rough,
+                                        vz)
+                    else:
+                        # masked multi-program dispatch (the ABI's expert
+                        # select, ops/programs.py dispatch_rows; per-material
+                        # program ids ride row 7 of the material plane)
+                        pid_row = mrows[7].astype(jnp.int32)
+                        rayv = P.HitRayRows(
+                            color=(color_r, color_g, color_b), energy=energy,
+                            life=life, vel=(vx, vy, vz), bounces=bounces,
+                            step=step)
+                        matv = P.MatRows(
+                            albedo=(alb_r, alb_g, alb_b), roughness=rough,
+                            absorption=absorb, ior=ior, energy=menergy)
+                        upd, bounce = P.dispatch_rows(
+                            tuple(programs_used), pid_row, rayv, matv,
+                            settings, (u0, u1, u2))
+                        ucr, ucg, ucb = upd.get("color", rayv.color)
+                        cr = jnp.where(hit, ucr, color_r)
+                        cg = jnp.where(hit, ucg, color_g)
+                        cb = jnp.where(hit, ucb, color_b)
+                        en = jnp.where(hit, upd.get("energy", energy), energy)
+                        lf = jnp.where(hit, upd.get("life", life), life)
+                        uvx, uvy, uvz = upd.get("vel", rayv.vel)
+                        nvx = jnp.where(hit, uvx, vx)
+                        nvy = jnp.where(hit, uvy, vy)
+                        nvz = jnp.where(hit, uvz, vz)
                     bo = jnp.where(hit, bounces + bounce, bounces)
                     cresf = cres.astype(jnp.float32)
                     lf = jnp.where(hit, lf / (cresf + bounce * lod_bounces),
@@ -854,7 +927,8 @@ def blockmarch_supported(settings: Settings, spec: GridSpec,
     row block (the stock tape is 75 draws — utils/tape.py)."""
     return (not settings.exact
             and (tape is None or int(tape.shape[-1]) <= 256)
-            and tuple(programs_used) == (M.PROGRAM_PBR,)
+            and all(P.has_rows_program(p) for p in programs_used)
+            and not P.ray_properties()
             and settings.march_steps >= settings.dist_max
             and settings.chunk_size ** 3 == 4096)
 
@@ -886,6 +960,7 @@ def march_blockwise(
     record_cells: bool = False,
     pages: int = 1,
     resort_life: bool = False,
+    resident: bool = False,
 ) -> MarchResult:
     """Bit-exact drop-in for ``march(mode="while")`` in key-RNG mode.
 
@@ -901,16 +976,35 @@ def march_blockwise(
     (utils/tape.py; bit-exact vs ``march(tape=...)``); the stock reference
     config (static=true) renders through the kernel this way.
 
+    ``resident``: stage the OCCUPIED chunks' blocks in VMEM as a pool and
+    serve any page per group per vote without DMA (see _make_kernel). The
+    BASELINE-scale scene (~225 occupied chunks) fits with room to spare;
+    scenes whose pool exceeds the VMEM budget must use the paged mode.
+    Requires a concrete (non-traced) chunk grid — true for the compiled
+    scenes the renderer closes over. ``inner_cap`` becomes the serve
+    duration: trips between vote rotations (small values cut the measured
+    freeze imbalance; ``ep_cap`` bounds total votes).
+
     Constraints (callers fall back to the XLA march otherwise): f32 rays,
-    single PBR program, chunk_size 16, exact=False, tape D <= 256,
+    every scene program registered with a lane-major ``rows_fn`` (builtin
+    PBR included; ops/programs.py dispatch_rows runs the masked
+    multi-program select in-kernel), no custom ray properties,
+    chunk_size 16, exact=False, tape D <= 256,
     march_steps >= dist_max (the global iteration cap must never truncate
     a ray mid-flight — true for every reference config since each
     iteration advances step by >= 1 and life <= dist_max).
     """
     if settings.exact:
         raise ValueError("blockmarch is the f32 fast path (exact=False only)")
-    if tuple(programs_used) != (M.PROGRAM_PBR,):
-        raise ValueError("blockmarch supports the single builtin PBR program")
+    programs_used = tuple(programs_used)
+    if not all(P.has_rows_program(p) for p in programs_used):
+        raise ValueError(
+            "blockmarch dispatches lane-major program variants in-kernel; "
+            "register_program(..., rows_fn=...) every program in the scene "
+            "or fall back to the XLA march (blockmarch_supported)")
+    if P.ray_properties():
+        raise ValueError("blockmarch has no custom ray-state rows; scenes "
+                         "with registered ray properties use the XLA march")
     if settings.march_steps < settings.dist_max:
         raise ValueError("blockmarch requires march_steps >= dist_max")
     if key is None:
@@ -925,6 +1019,12 @@ def march_blockwise(
     if pages not in (1, 2, 3, 4):
         raise ValueError("pages (resident chunk blocks per group) must be "
                          "1..4 — VMEM budget")
+    if resident and pages != 1:
+        raise ValueError("resident mode already serves every page from the "
+                         "VMEM pool; pages must be 1")
+    if resident and voxel_albedo is not None:
+        raise ValueError("resident mode: the 160-row voxel-albedo pool "
+                         "exceeds the VMEM budget; use the paged mode")
 
     n = rays.pos.shape[0]
     dtype = jnp.float32
@@ -934,10 +1034,35 @@ def march_blockwise(
     czp = _pad_to(CZ, 8)
     cxyp = _pad_to(CX * CY, 8)
 
+    page_map = occ_idx = None
+    if resident:
+        if isinstance(arrays.chunk_res, jax.core.Tracer):
+            raise ValueError(
+                "resident mode needs a concrete chunk grid (the scene is a "
+                "closed-over constant in the compiled renderers); pass "
+                "resident=False for traced scene arrays")
+        occ = np.asarray(jax.device_get(arrays.chunk_res)) > 0
+        nocc = max(1, int(occ.sum()))
+        occ_idx = np.zeros((nocc,), np.int32)
+        occ_idx[: int(occ.sum())] = np.nonzero(occ)[0]
+        page_map = np.zeros((occ.shape[0],), np.int32)
+        page_map[occ] = np.arange(int(occ.sum()), dtype=np.int32)
+        per_chunk = (4 * 32 * 128 * 2) if byte_planes else (64 * 128 * 4)
+        if nocc * per_chunk > 11 * 2 ** 20:
+            raise ValueError(
+                f"resident pool ({nocc} occupied chunks x {per_chunk} B) "
+                "exceeds the VMEM budget; use the paged (vote+DMA) mode")
     blocks, coarse = pack_blocks(spec, arrays.cell_word, arrays.chunk_res,
                                  byte_planes=byte_planes,
-                                 voxel_albedo=voxel_albedo)
-    mat8 = pack_mat_rows(arrays.material_table)
+                                 voxel_albedo=voxel_albedo,
+                                 page_map=page_map)
+    if resident:
+        # compact to the occupied-chunk pool (static gather — occ_idx is a
+        # host constant, so XLA folds this into the baked scene constants)
+        blocks = blocks[jnp.asarray(occ_idx)]
+    mat8 = pack_mat_rows(arrays.material_table,
+                         program=(arrays.program
+                                  if len(programs_used) > 1 else None))
     kp = mat8.shape[1]
     k1, k2 = R.key_data_pair(key)
     # int32 transport (bit-preserving) — scalar prefetch wants int32
@@ -1004,7 +1129,8 @@ def march_blockwise(
                           byte_planes=byte_planes, group_coarse=group_coarse,
                           tape_rows=Dpad if use_tape else 0, tape_len=D,
                           voxel_mode=voxel_mode,
-                          record_cells=record_cells and H > 0, pages=pages)
+                          record_cells=record_cells and H > 0, pages=pages,
+                          resident=resident, programs_used=programs_used)
     grid = (npad // w,)
     state_spec = lambda rows: pl.BlockSpec((rows, w), lambda t, s: (0, t),
                                            memory_space=pltpu.VMEM)
@@ -1022,7 +1148,8 @@ def march_blockwise(
                     state_spec(I_ROWS),
                     state_spec(rrows),
                 ] + ([state_spec(Dpad)] if use_tape else []) + [
-                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=(pltpu.VMEM if resident
+                                               else pl.ANY)),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
@@ -1030,7 +1157,11 @@ def march_blockwise(
                            state_spec(rrows),
                            pl.BlockSpec((1, czp, cxyp), lambda t, s: (t, 0, 0),
                                         memory_space=pltpu.VMEM)],
-                scratch_shapes=[
+                scratch_shapes=([
+                    pltpu.VMEM(((4 if byte_planes else
+                                 (5 if voxel_mode else 2))
+                                + (1 if group_coarse else 0), w), jnp.float32),
+                ] if resident else [
                     ((pltpu.VMEM((groups, 4, 32, 128), jnp.bfloat16)
                       if byte_planes else
                       pltpu.VMEM((groups, 160 if voxel_mode else 64, 128),
@@ -1045,7 +1176,7 @@ def march_blockwise(
                     pltpu.VMEM(((4 if byte_planes else
                                  (5 if voxel_mode else 2))
                                 + (1 if group_coarse else 0), w), jnp.float32),
-                ],
+                ]),
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((F_ROWS, npad), dtype),

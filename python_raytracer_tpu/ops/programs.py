@@ -67,6 +67,30 @@ class MatParams:
     energy: jnp.ndarray
 
 
+@dataclasses.dataclass
+class HitRayRows:
+    """Lane-major view of the ray state inside the Pallas kernel: scalar
+    rows shaped [W] (vectors are component tuples). Mirrors HitRay."""
+
+    color: tuple  # (r, g, b) rows
+    energy: jnp.ndarray
+    life: jnp.ndarray
+    vel: tuple  # (x, y, z) rows
+    bounces: jnp.ndarray
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass
+class MatRows:
+    """Lane-major material params ([W] rows). Mirrors MatParams."""
+
+    albedo: tuple  # (r, g, b) rows
+    roughness: jnp.ndarray
+    absorption: jnp.ndarray
+    ior: jnp.ndarray
+    energy: jnp.ndarray
+
+
 def _mix(a, b, bias):
     return a * (1 - bias) + b * bias
 
@@ -90,9 +114,28 @@ def pbr_program(ray: HitRay, mat: MatParams, settings, draws):
     return {"color": color, "energy": energy, "life": life, "vel": vel}, mat.absorption
 
 
+def pbr_rows(ray: HitRayRows, mat: MatRows, settings, draws):
+    """Lane-major pbr_program — the same float expressions on [W] rows, so
+    the Pallas kernel's multi-program dispatch is bit-identical to the XLA
+    march's (tests/test_blockmarch.py enforces it)."""
+    absb = jnp.minimum(
+        1.0, mat.absorption / (1.0 + ray.bounces) ** (1.0 + settings.falloff))
+    color = tuple(c * (1 - absb) + a * absb
+                  for c, a in zip(ray.color, mat.albedo))
+    energy = ray.energy * (1 - absb) + mat.energy * absb
+    life = ray.life * (1.0 - mat.roughness * absb)
+    vel = tuple(v + (-1.0 + u * 2.0) * mat.roughness
+                for v, u in zip(ray.vel, draws))
+    return {"color": color, "energy": energy, "life": life,
+            "vel": vel}, mat.absorption
+
+
 _PROGRAMS: Dict[int, Callable] = {M.PROGRAM_PBR: pbr_program}
 _PROGRAM_NAMES: Dict[str, int] = {"pbr": M.PROGRAM_PBR, "material": M.PROGRAM_PBR}
 _CALLABLE_IDS: Dict[int, int] = {}
+# Lane-major variants servable inside the Pallas kernel (march_blockwise
+# multi-program dispatch). A program without one falls back to the XLA march.
+_PROGRAM_ROWS: Dict[int, Callable] = {M.PROGRAM_PBR: pbr_rows}
 
 # Registered custom ray properties: name -> initial value. The reference's
 # "attach any field to the ray store" extensibility (README.md:96) maps to
@@ -155,16 +198,26 @@ def dispatch(programs_used, pids, ray: HitRay, mat: MatParams, settings, draws):
     return upd, bounce
 
 
-def register_program(name: str, fn: Callable) -> int:
+def register_program(name: str, fn: Callable,
+                     rows_fn: Optional[Callable] = None) -> int:
     """Register a custom vectorized material program under a name.
 
     This is the TPU equivalent of assigning a Python function to
     ``Material(function=...)`` (reference README.md:110-124 mod ABI).
+
+    ``rows_fn``: optional lane-major variant (HitRayRows/MatRows ABI,
+    draws as a (u0, u1, u2) row tuple) that lets scenes using this program
+    keep the Pallas-kernel production path. It MUST compute the same float
+    expressions as ``fn`` (see pbr_rows) — the kernel and the XLA march are
+    bit-compared in tests, and the hit-replay backward dispatches through
+    ``fn``, so a drifting pair silently diverges gradients from the forward.
     """
     pid = max(_PROGRAMS.keys()) + 1
     _PROGRAMS[pid] = fn
     _PROGRAM_NAMES[name] = pid
     _CALLABLE_IDS[id(fn)] = pid
+    if rows_fn is not None:
+        _PROGRAM_ROWS[pid] = rows_fn
     return pid
 
 
@@ -192,6 +245,46 @@ def resolve_program(function: Union[None, str, Callable]) -> int:
 
 def get_program(pid: int) -> Callable:
     return _PROGRAMS[pid]
+
+
+def has_rows_program(pid: int) -> bool:
+    """True when ``pid`` can be dispatched inside the Pallas kernel."""
+    return pid in _PROGRAM_ROWS
+
+
+def get_rows_program(pid: int) -> Callable:
+    return _PROGRAM_ROWS[pid]
+
+
+def _rows_field(ray: HitRayRows, key: str):
+    return getattr(ray, key)
+
+
+def dispatch_rows(programs_used, pid_row, ray: HitRayRows, mat: MatRows,
+                  settings, draws):
+    """Lane-major mirror of ``dispatch`` for the Pallas kernel: every
+    program in the scene runs vectorized on the [W] rows and results are
+    masked-selected by the per-lane program id, in the same accumulation
+    order as ``dispatch`` so the select chain is bit-identical."""
+    if len(programs_used) == 1:
+        return get_rows_program(programs_used[0])(ray, mat, settings, draws)
+    upd, bounce = None, None
+    for pid in programs_used:
+        u_i, b_i = get_rows_program(pid)(ray, mat, settings, draws)
+        if upd is None:
+            upd, bounce = dict(u_i), b_i
+        else:
+            sel = pid_row == pid
+            for key in set(upd) | set(u_i):
+                base = upd.get(key, _rows_field(ray, key))
+                new = u_i.get(key, _rows_field(ray, key))
+                if isinstance(new, tuple):
+                    upd[key] = tuple(jnp.where(sel, n_, b_)
+                                     for n_, b_ in zip(new, base))
+                else:
+                    upd[key] = jnp.where(sel, new, base)
+            bounce = jnp.where(sel, b_i, bounce)
+    return upd, bounce
 
 
 # --- background programs (reference background ABI: f(ray, settings),

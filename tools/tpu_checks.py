@@ -80,6 +80,14 @@ def main():
         failures += 1
 
     print("OK" if failures == 0 else f"FAILURES: {failures}", flush=True)
+    # Stamp the result where bench.py's preamble reports it (VERDICT r3
+    # item 7): every BENCH tail carries the latest hardware-equality state.
+    import json
+    stamp = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".tpu_checks.json")
+    with open(stamp, "w") as f:
+        json.dump({"ok": failures == 0, "ts": time.time(),
+                   "failures": failures}, f)
     sys.exit(1 if failures else 0)
 
 
