@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon sitecustomize "
                          "ignores JAX_PLATFORMS; --small implies --cpu)")
+    ap.add_argument("--fps", type=int, default=0, metavar="N",
+                    help="after the first (compile) frame, time N steady-"
+                         "state frames per config and report fps / ms per "
+                         "frame (the TPU Engine-path numbers, VERDICT r3 "
+                         "item 5; reference target: 24 fps at 64x48, "
+                         "mods/default/config.cfg:7)")
     args = ap.parse_args()
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
@@ -76,6 +82,22 @@ def main():
     if args.small:
         base = base.replace(width=32, height=24)
 
+    def steady_frame(name, fn, extra=None):
+        """--fps: repeat a warmed single-frame render and report fps (the
+        host readback in np.asarray is the fence — block_until_ready does
+        not synchronize over the axon tunnel, ROADMAP measurement rules)."""
+        if not args.fps:
+            return
+        t0 = time.time()
+        img = None
+        for _ in range(args.fps):
+            img = fn()
+        np.asarray(img)
+        dt = (time.time() - t0) / args.fps
+        report(name + "_steady", dt, np.asarray(img),
+               {**(extra or {}), "fps": round(1.0 / max(dt, 1e-9), 2),
+                "ms_per_frame": round(dt * 1000, 2), "frames": args.fps})
+
     # 1. stock single frame
     st = base
     scene = build_default_scene(st)
@@ -88,6 +110,9 @@ def main():
     img = np.asarray(img)
     report("stock", time.time() - t0, img,
            {"traversed_chunks": int(np.asarray(trav).sum())})
+    steady_frame("stock", lambda: render_frame(
+        st, cs.spec, cs.arrays, cam_pos, cam_rot,
+        key=jax.random.PRNGKey(0), record_traversed=True)[0])
 
     # 2. samples=4 static multisampling (tape-replayed static noise)
     st4 = base.replace(samples=4)
@@ -99,6 +124,9 @@ def main():
     t0 = time.time()
     img4, _ = render_frame(st4, cs4.spec, cs4.arrays, cam_pos, cam_rot, tape=tape)
     report("multisample", time.time() - t0, np.asarray(img4), {"samples": 4})
+    steady_frame("multisample", lambda: render_frame(
+        st4, cs4.spec, cs4.arrays, cam_pos, cam_rot, tape=tape)[0],
+        {"samples": 4})
 
     # 3. post stack over an animated camera path
     stp = base.replace(static=False)
@@ -112,6 +140,7 @@ def main():
         out = eng.step(1 / 24)
     report("poststack", time.time() - t0, out,
            {"frames": frames, "iris": round(eng.iris, 4)})
+    steady_frame("poststack", lambda: eng.step(1 / 24))
 
     # 4. Goxel import + volumetric/IOR materials (glass, scatter, mist cubes
     #    centered in view)
@@ -129,6 +158,9 @@ def main():
                             np.array(player.cam_pos), np.array(player.cam_rot),
                             key=jax.random.PRNGKey(2))
     report("goxel_vol", time.time() - t0, np.asarray(img_g))
+    steady_frame("goxel_vol", lambda: render_frame(
+        stg, cs_g.spec, cs_g.arrays, np.array(player.cam_pos),
+        np.array(player.cam_rot), key=jax.random.PRNGKey(2))[0])
 
     # 5. flythrough with culling + physics displacement
     stf = base.replace(static=False, culling=True)
@@ -144,6 +176,12 @@ def main():
     report("flythrough", time.time() - t0, out,
            {"frames": frames, "active_chunks": active,
             "player_pos": [round(c, 2) for c in engf.scene.player.pos]})
+
+    def fly_step():
+        engf.apply_input((0, 0, 1), (0, 4, 0), (0, 0), dt=1 / 24)
+        return engf.step(1 / 24)
+
+    steady_frame("flythrough", fly_step)
 
 
 if __name__ == "__main__":
