@@ -347,6 +347,10 @@ def main():
         pages=int(os.environ.get("BENCH_PAGES", "1")),
         resort_life=os.environ.get("BENCH_RESORT_LIFE", "0") == "1",
     )
+    # resident joins the kwargs only when enabled so the default knob dict
+    # (and with it the .jax_exec content fingerprint) stays stable
+    if os.environ.get("BENCH_RESIDENT", "0") == "1":
+        block_kw["resident"] = True
 
     st = default_settings().replace(exact=False, static=False)
     scene = build_default_scene(st)

@@ -328,6 +328,11 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 needing = alive & (cres > 0) & (page != loaded[0])
             else:
                 needing = alive & (cres > 0) & ~resident_of(page)
+            if resident:
+                # pages past the pool capacity are unservable (traced-grid
+                # overflow): they must never win a vote — their lanes stay
+                # frozen and the XLA cleanup finishes them
+                needing = needing & (page < blocks_hbm.shape[0])
             votekey = jnp.where(needing, (stall << 20) | page, -1)
             if pages == 1:
                 new_loaded = loaded[0]
@@ -908,7 +913,16 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
             I_out[_I_FLAGS] = ((flags & ~(_STALL_MAX << _STALL_SHIFT))
                                | (stall << _STALL_SHIFT))
             I_out[_I_EPS] = I_out[_I_EPS] + 1
-            return ep + 1, jnp.any(alive), loaded
+            ep1 = ep + 1  # traced before the liveness test: op order is part
+            # of the jaxpr and the committed cache keys must not churn
+            if resident:
+                # unservable (overflow) lanes can make no progress here —
+                # don't let them keep the episode loop spinning
+                live = jnp.any(alive & ((cres == 0)
+                                        | (page < blocks_hbm.shape[0])))
+            else:
+                live = jnp.any(alive)
+            return ep1, live, loaded
 
         loaded0 = tuple(jnp.full((w,), -1, jnp.int32) for _ in range(pages))
         jax.lax.while_loop(episode_cond, episode_body,
@@ -961,6 +975,7 @@ def march_blockwise(
     pages: int = 1,
     resort_life: bool = False,
     resident: bool = False,
+    resident_cap: int = 0,
 ) -> MarchResult:
     """Bit-exact drop-in for ``march(mode="while")`` in key-RNG mode.
 
@@ -1035,31 +1050,52 @@ def march_blockwise(
     cxyp = _pad_to(CX * CY, 8)
 
     page_map = occ_idx = None
+    res_traced = resident and isinstance(arrays.chunk_res, jax.core.Tracer)
     if resident:
-        if isinstance(arrays.chunk_res, jax.core.Tracer):
-            raise ValueError(
-                "resident mode needs a concrete chunk grid (the scene is a "
-                "closed-over constant in the compiled renderers); pass "
-                "resident=False for traced scene arrays")
-        occ = np.asarray(jax.device_get(arrays.chunk_res)) > 0
-        nocc = max(1, int(occ.sum()))
-        occ_idx = np.zeros((nocc,), np.int32)
-        occ_idx[: int(occ.sum())] = np.nonzero(occ)[0]
-        page_map = np.zeros((occ.shape[0],), np.int32)
-        page_map[occ] = np.arange(int(occ.sum()), dtype=np.int32)
         per_chunk = (4 * 32 * 128 * 2) if byte_planes else (64 * 128 * 4)
+        if res_traced:
+            # traced chunk grid (Engine rebakes churn occupancy under one
+            # compiled program): fixed-capacity pool, data-dependent page
+            # map. Chunks past the cap drop out of the pool; lanes needing
+            # them stay frozen and the XLA cleanup finishes them — exactness
+            # never depends on the cap, only throughput does.
+            if resident_cap <= 0:
+                raise ValueError(
+                    "a traced chunk grid needs an explicit resident_cap "
+                    "(static pool capacity; overflow goes to cleanup)")
+            nocc = resident_cap
+            occ = arrays.chunk_res > 0
+            rank = jnp.cumsum(occ.astype(jnp.int32)) - 1
+            page_map = jnp.where(occ, rank, 0)
+        else:
+            occ = np.asarray(jax.device_get(arrays.chunk_res)) > 0
+            nocc = max(1, int(occ.sum()))
+            if resident_cap > 0:
+                nocc = min(nocc, resident_cap)
+            occ_idx = np.zeros((nocc,), np.int32)
+            take = min(nocc, int(occ.sum()))
+            occ_idx[:take] = np.nonzero(occ)[0][:take]
+            page_map = np.zeros((occ.shape[0],), np.int32)
+            page_map[occ] = np.arange(int(occ.sum()), dtype=np.int32)
         if nocc * per_chunk > 11 * 2 ** 20:
             raise ValueError(
-                f"resident pool ({nocc} occupied chunks x {per_chunk} B) "
-                "exceeds the VMEM budget; use the paged (vote+DMA) mode")
+                f"resident pool ({nocc} chunks x {per_chunk} B) exceeds "
+                "the VMEM budget; use the paged (vote+DMA) mode")
     blocks, coarse = pack_blocks(spec, arrays.cell_word, arrays.chunk_res,
                                  byte_planes=byte_planes,
                                  voxel_albedo=voxel_albedo,
                                  page_map=page_map)
     if resident:
-        # compact to the occupied-chunk pool (static gather — occ_idx is a
-        # host constant, so XLA folds this into the baked scene constants)
-        blocks = blocks[jnp.asarray(occ_idx)]
+        if res_traced:
+            # scatter occupied blocks into the capacity-bounded pool;
+            # overflow ranks land out of range and drop (mode="drop")
+            idx = jnp.where(occ, page_map, nocc)
+            pool = jnp.zeros((nocc,) + blocks.shape[1:], blocks.dtype)
+            blocks = pool.at[idx].set(blocks, mode="drop")
+        else:
+            # compact to the occupied-chunk pool (static gather — occ_idx
+            # is a host constant, so XLA folds it into the scene constants)
+            blocks = blocks[jnp.asarray(occ_idx)]
     mat8 = pack_mat_rows(arrays.material_table,
                          program=(arrays.program
                                   if len(programs_used) > 1 else None))

@@ -60,7 +60,8 @@ class Engine:
     def __init__(self, scene: Scene, margin_chunks: int = 2, dtype=jnp.float32,
                  key: Optional[jax.Array] = None, pipeline: Optional[bool] = None,
                  compact: bool = False, metrics: Optional[MetricLog] = None,
-                 metrics_every: int = 0, block: bool = False):
+                 metrics_every: int = 0, block: bool = False,
+                 block_kw: Optional[dict] = None):
         self.scene = scene
         self.settings: Settings = scene.settings
         st = self.settings
@@ -117,6 +118,17 @@ class Engine:
             # with per-ray VMEM-staged tape segments)
             if block and dtype != jnp.float32:
                 raise ValueError("block rendering needs f32")
+            if block and block_kw and block_kw.get("resident"):
+                # resident pool under the jitted frame renderer: the scene
+                # arrays are traced (rebakes swap them), so the pool needs a
+                # static capacity; default to the current occupancy plus
+                # headroom (overflow chunks march in the cleanup pass)
+                block_kw = dict(block_kw)
+                if block_kw.get("resident_cap", 0) <= 0:
+                    occ0 = int(np.asarray(
+                        jax.device_get(self.compiled.arrays.chunk_res) > 0
+                    ).sum())
+                    block_kw["resident_cap"] = max(8, occ0 + (occ0 >> 2))
             self._render = jax.jit(
                 lambda arrays, cam_pos, cam_rot, lens, key: render_frame(
                     st, self.compiled.spec, arrays, cam_pos, cam_rot, lens,
@@ -126,6 +138,7 @@ class Engine:
                     record_traversed=True, dtype=dtype,
                     programs_used=self.compiled.programs_used,
                     with_stats=self.metrics_every > 0,
+                    block_kw=block_kw,
                 )
             )
         if st.culling and scene.player is not None:

@@ -266,12 +266,23 @@ def test_engine_block_frames_match():
     try:
         e_ref = Engine(build_default_scene(st), pipeline=False)
         e_blk = Engine(build_default_scene(st), pipeline=False, block=True)
+        # resident pool under the Engine's jitted renderer (traced scene
+        # arrays -> capacity-bounded pool; colors may differ in the last
+        # ULP from jit fusion of the interpret ops, so compare allclose)
+        e_res = Engine(build_default_scene(st), pipeline=False, block=True,
+                       block_kw={"resident": True, "inner_cap": 2,
+                                 "ep_cap": 256})
         for fi in range(4):
             a = e_ref.step(1 / 24)
             b = e_blk.step(1 / 24)
+            c = e_res.step(1 / 24)
             np.testing.assert_array_equal(a, b, err_msg=f"frame {fi}")
             np.testing.assert_array_equal(np.asarray(e_ref._traversed),
                                           np.asarray(e_blk._traversed))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=1e-3, err_msg=f"frame {fi}")
+            np.testing.assert_array_equal(np.asarray(e_ref._traversed),
+                                          np.asarray(e_res._traversed))
     finally:
         B.march_blockwise = orig
 
@@ -611,3 +622,45 @@ def test_blockmarch_multi_program_bitexact():
         P._PROGRAMS.pop(pid, None)
         P._PROGRAM_ROWS.pop(pid, None)
         P._PROGRAM_NAMES.pop("tint_rows_test", None)
+
+
+def test_blockmarch_resident_traced_grid_and_overflow(scene):
+    """Resident mode under jit with TRACED scene arrays (the Engine path):
+    fixed-capacity pool + data-dependent page map. With capacity below the
+    occupied-chunk count, overflow chunks' rays freeze and the cleanup
+    finishes them — bit-exact either way."""
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(3)
+    rays = _rays(st, cam_pos, cam_rot, 1024, key)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used, record_hits=16)
+    n_occ = int((np.asarray(cs.arrays.chunk_res) > 0).sum())
+
+    def run(arrays, cap):
+        return march_blockwise(st, cs.spec, arrays, rays, key=key,
+                               background="sky",
+                               programs_used=cs.programs_used,
+                               record_hits=16, resident=True,
+                               resident_cap=cap, inner_cap=2, ep_cap=128,
+                               interpret=True)
+
+    def assert_same_traj(ref, out):
+        # trajectories must be exact; final colors may differ in the last
+        # ULP because the enclosing jit FUSES the interpret-mode shading
+        # chain (FMA rounding) — the same comparison rule as the hardware
+        # check (tools/tpu_checks.py). Verified: step/vid/count/u all exact.
+        assert bool(jnp.all(ref.step == out.step))
+        assert bool(jnp.all(ref.bounces == out.bounces))
+        assert bool(jnp.all(ref.hits.vid == out.hits.vid))
+        assert bool(jnp.all(ref.hits.u == out.hits.u))
+        assert bool(jnp.all(ref.hits.flip == out.hits.flip))
+        assert bool(jnp.all(ref.hits.count == out.hits.count))
+        np.testing.assert_allclose(np.asarray(ref.color),
+                                   np.asarray(out.color), atol=1e-3)
+
+    # ample capacity (traced grid)
+    out = jax.jit(lambda a: run(a, n_occ + 7))(cs.arrays)
+    assert_same_traj(ref, out)
+    # overflow: half the occupied chunks don't fit the pool
+    out2 = jax.jit(lambda a: run(a, max(1, n_occ // 2)))(cs.arrays)
+    assert_same_traj(ref, out2)
