@@ -214,7 +214,8 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                  tape_len: int = 0, voxel_mode: bool = False,
                  record_cells: bool = False, pages: int = 1,
                  resident: bool = False,
-                 programs_used: Tuple[int, ...] = (M.PROGRAM_PBR,)):
+                 programs_used: Tuple[int, ...] = (M.PROGRAM_PBR,),
+                 slab_width: int = 0):
     """Build the kernel body (all settings/geometry static).
 
     ``pages`` > 1: each group holds P resident chunk blocks instead of one
@@ -295,6 +296,16 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
 
         group_of = jax.lax.broadcasted_iota(jnp.int32, (w,), 0) // 256
 
+        def in_slab_of(px):
+            """Grid-TP slab gate (ops/march.py in_slab, SURVEY §5.7 ring):
+            lanes whose current cell-x lies outside [x0, x0+width) freeze
+            with exact state; x0 rides the prefetch scalars (it rotates
+            per ring segment)."""
+            gx = jnp.clip(jnp.floor(px).astype(jnp.int32) - int(ox),
+                          0, SX - 1)
+            x0 = scal_ref[2]
+            return (gx >= x0) & (gx < x0 + slab_width)
+
         def read_state():
             px, py, pz = F_out[_F_POS], F_out[_F_POS + 1], F_out[_F_POS + 2]
             vx, vy, vz = F_out[_F_VEL], F_out[_F_VEL + 1], F_out[_F_VEL + 2]
@@ -333,6 +344,10 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 # overflow): they must never win a vote — their lanes stay
                 # frozen and the XLA cleanup finishes them
                 needing = needing & (page < blocks_hbm.shape[0])
+            if slab_width:
+                # grid-TP: lanes outside this device's slab are frozen and
+                # must not steer the vote
+                needing = needing & in_slab_of(F_out[_F_POS])
             votekey = jnp.where(needing, (stall << 20) | page, -1)
             if pages == 1:
                 new_loaded = loaded[0]
@@ -413,6 +428,10 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 cmz = F_out[_F_CMIN + 2]
 
                 active = alive & ((cres == 0) | resident_of(page))
+                if slab_width:
+                    # grid-TP segment: out-of-slab lanes freeze exactly
+                    # (reference of record: ops/march.py body() slab gate)
+                    active = active & in_slab_of(px)
 
                 # 1. active-chunk hysteresis (ops/march.py step 1,
                 #    reference init.py:67-73)
@@ -885,7 +904,12 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 # invariant and increments are uniform per tile)
                 I_out[_I_TRIPS] = I_out[_I_TRIPS] + 1
 
-                return jnp.any(alive & ((cres == 0) | resident_of(page)))
+                go = alive & ((cres == 0) | resident_of(page))
+                if slab_width:
+                    # lanes that just advanced out of the slab stop driving
+                    # the inner loop (they are frozen from the next trip on)
+                    go = go & in_slab_of(px)
+                return jnp.any(go)
 
             def inner_body(c):
                 it, _ = c
@@ -915,11 +939,17 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
             I_out[_I_EPS] = I_out[_I_EPS] + 1
             ep1 = ep + 1  # traced before the liveness test: op order is part
             # of the jaxpr and the committed cache keys must not churn
-            if resident:
-                # unservable (overflow) lanes can make no progress here —
-                # don't let them keep the episode loop spinning
-                live = jnp.any(alive & ((cres == 0)
-                                        | (page < blocks_hbm.shape[0])))
+            if resident or slab_width:
+                # unservable lanes (pool overflow / outside this device's
+                # slab) can make no progress here — don't let them keep the
+                # episode loop spinning
+                live = alive
+                if resident:
+                    live = live & ((cres == 0)
+                                   | (page < blocks_hbm.shape[0]))
+                if slab_width:
+                    live = live & in_slab_of(F_out[_F_POS])
+                live = jnp.any(live)
             else:
                 live = jnp.any(alive)
             return ep1, live, loaded
@@ -976,6 +1006,9 @@ def march_blockwise(
     resort_life: bool = False,
     resident: bool = False,
     resident_cap: int = 0,
+    slab=None,
+    resume_state=None,
+    finalize: bool = True,
 ) -> MarchResult:
     """Bit-exact drop-in for ``march(mode="while")`` in key-RNG mode.
 
@@ -1040,6 +1073,19 @@ def march_blockwise(
     if resident and voxel_albedo is not None:
         raise ValueError("resident mode: the 160-row voxel-albedo pool "
                          "exceeds the VMEM budget; use the paged mode")
+    if slab is not None or resume_state is not None:
+        # grid-TP segmented execution (parallel/gridshard.py ring): the
+        # kernel marches only the rays whose cell lies in this device's
+        # X-slab; everyone else freezes with exact state. Kept to the TP
+        # render path's needs: key RNG, no hit tape, paged blocks.
+        if use_tape:
+            raise ValueError("slab/resume kernel segments run key-RNG only")
+        if resume_state is not None and record_hits:
+            raise ValueError("hit-tape resume is not supported in the "
+                             "kernel path; record hits on the final "
+                             "(unsegmented) march instead")
+        if slab is not None and (resident or voxel_albedo is not None):
+            raise ValueError("slab segments use the paged block path")
 
     n = rays.pos.shape[0]
     dtype = jnp.float32
@@ -1050,6 +1096,15 @@ def march_blockwise(
     cxyp = _pad_to(CX * CY, 8)
 
     page_map = occ_idx = None
+    slab_w_cells = 0
+    x0_cells = x0_chunks = scx = None
+    if slab is not None:
+        x0_cells, slab_w_cells = slab
+        cs_i = settings.chunk_size
+        if slab_w_cells % cs_i:
+            raise ValueError("slab width must be chunk-aligned")
+        scx = slab_w_cells // cs_i
+        x0_chunks = jnp.asarray(x0_cells, jnp.int32) // cs_i
     res_traced = resident and isinstance(arrays.chunk_res, jax.core.Tracer)
     if resident:
         per_chunk = (4 * 32 * 128 * 2) if byte_planes else (64 * 128 * 4)
@@ -1081,10 +1136,35 @@ def march_blockwise(
             raise ValueError(
                 f"resident pool ({nocc} chunks x {per_chunk} B) exceeds "
                 "the VMEM budget; use the paged (vote+DMA) mode")
-    blocks, coarse = pack_blocks(spec, arrays.cell_word, arrays.chunk_res,
-                                 byte_planes=byte_planes,
-                                 voxel_albedo=voxel_albedo,
-                                 page_map=page_map)
+    if slab is not None:
+        # grid-TP segment: arrays.cell_word holds only this device's X-slab
+        # (parallel/gridshard.py). Blocks come from the slab's own cells
+        # (pages are slab-local); per-chunk res derives from the words'
+        # res bits; the coarse table is GLOBAL-shaped with the slab's span
+        # placed at its rotating chunk offset (out-of-slab chunks read 0 =
+        # void, never consumed — those lanes are frozen by the slab gate).
+        slab_spec = GridSpec(
+            origin=spec.origin,
+            shape=(slab_w_cells, spec.shape[1], spec.shape[2]),
+            chunk_size=cs_i, num_lods=spec.num_lods)
+        wordsv = jnp.asarray(arrays.cell_word, jnp.int32).reshape(
+            scx, cs_i, CY, cs_i, CZ, cs_i)
+        res_slab = jnp.max(
+            (wordsv >> C.WORD_RES_SHIFT) & C.WORD_RES_MASK,
+            axis=(1, 3, 5)).reshape(-1)
+        blocks, coarse_local = pack_blocks(slab_spec, arrays.cell_word,
+                                           res_slab,
+                                           byte_planes=byte_planes)
+        coarse = jax.lax.dynamic_update_slice(
+            jnp.zeros((czp, cxyp), jnp.float32),
+            coarse_local[:CZ, : scx * CY],
+            (jnp.int32(0), x0_chunks * jnp.int32(CY)))
+    else:
+        blocks, coarse = pack_blocks(spec, arrays.cell_word,
+                                     arrays.chunk_res,
+                                     byte_planes=byte_planes,
+                                     voxel_albedo=voxel_albedo,
+                                     page_map=page_map)
     if resident:
         if res_traced:
             # scatter occupied blocks into the capacity-bounded pool;
@@ -1104,6 +1184,10 @@ def march_blockwise(
     # int32 transport (bit-preserving) — scalar prefetch wants int32
     scal = jax.lax.bitcast_convert_type(
         jnp.stack([k1, k2]).astype(jnp.uint32), jnp.int32)
+    if slab is not None:
+        # the rotating slab origin rides the prefetch scalars (cells)
+        scal = jnp.concatenate(
+            [scal, jnp.asarray(x0_cells, jnp.int32).reshape(1)])
 
     pos = jnp.zeros((npad, 3), dtype).at[:n].set(rays.pos.astype(dtype))
     vel = jnp.zeros((npad, 3), dtype).at[:n].set(rays.vel.astype(dtype))
@@ -1132,27 +1216,83 @@ def march_blockwise(
     octant = ((vel[:, 0] > 0).astype(jnp.int32)
               | ((vel[:, 1] > 0).astype(jnp.int32) << 1)
               | ((vel[:, 2] > 0).astype(jnp.int32) << 2))
-    skey = jnp.where(alive0, ckey * 8 + octant, jnp.int32(2 ** 30))
-    srt = jax.lax.sort(
-        [skey, sid, pos[:, 0], pos[:, 1], pos[:, 2],
-         vel[:, 0], vel[:, 1], vel[:, 2], life]
-        + ([ptr0] if use_tape else []),
-        dimension=0, is_stable=True, num_keys=1)
-    sid_s = srt[1]
-    pos_s = jnp.stack(srt[2:5], axis=0)
-    vel_s = jnp.stack(srt[5:8], axis=0)
-    life_s = srt[8]
-
-    F = jnp.zeros((F_ROWS, npad), dtype)
-    F = F.at[_F_POS:_F_POS + 3].set(pos_s)
-    F = F.at[_F_VEL:_F_VEL + 3].set(vel_s)
-    F = F.at[_F_LIFE].set(life_s)
-    I = jnp.zeros((I_ROWS, npad), jnp.int32)
-    I = I.at[_I_FLAGS].set((life_s > 0).astype(jnp.int32))
     tape_s = None
-    if use_tape:
-        I = I.at[_I_PTR].set(srt[9])
-        tape_s = tapeT0[:, sid_s]
+    if resume_state is None:
+        skey = jnp.where(alive0, ckey * 8 + octant, jnp.int32(2 ** 30))
+        srt = jax.lax.sort(
+            [skey, sid, pos[:, 0], pos[:, 1], pos[:, 2],
+             vel[:, 0], vel[:, 1], vel[:, 2], life]
+            + ([ptr0] if use_tape else []),
+            dimension=0, is_stable=True, num_keys=1)
+        sid_s = srt[1]
+        pos_s = jnp.stack(srt[2:5], axis=0)
+        vel_s = jnp.stack(srt[5:8], axis=0)
+        life_s = srt[8]
+
+        F = jnp.zeros((F_ROWS, npad), dtype)
+        F = F.at[_F_POS:_F_POS + 3].set(pos_s)
+        F = F.at[_F_VEL:_F_VEL + 3].set(vel_s)
+        F = F.at[_F_LIFE].set(life_s)
+        I = jnp.zeros((I_ROWS, npad), jnp.int32)
+        I = I.at[_I_FLAGS].set((life_s > 0).astype(jnp.int32))
+        if use_tape:
+            I = I.at[_I_PTR].set(srt[9])
+            tape_s = tapeT0[:, sid_s]
+    else:
+        # --- resume a partial march (grid-TP segments, gridshard ring) ---
+        st_ = resume_state
+        alive0 = jnp.zeros((npad,), bool).at[:n].set(st_.alive)
+        F0 = jnp.zeros((F_ROWS, npad), dtype)
+        F0 = F0.at[_F_POS:_F_POS + 3].set(
+            jnp.zeros((3, npad), dtype).at[:, :n].set(st_.pos.T.astype(dtype)))
+        F0 = F0.at[_F_VEL:_F_VEL + 3].set(
+            jnp.zeros((3, npad), dtype).at[:, :n].set(st_.vel.T.astype(dtype)))
+        F0 = F0.at[_F_COLOR:_F_COLOR + 3].set(
+            jnp.zeros((3, npad), dtype).at[:, :n].set(st_.color.T.astype(dtype)))
+        F0 = F0.at[_F_ENERGY, :n].set(st_.energy.astype(dtype))
+        F0 = F0.at[_F_STEP, :n].set(st_.step.astype(dtype))
+        F0 = F0.at[_F_LIFE, :n].set(st_.life.astype(dtype))
+        F0 = F0.at[_F_BOUNCES, :n].set(st_.bounces.astype(dtype))
+        F0 = F0.at[_F_CMIN:_F_CMIN + 3].set(
+            jnp.zeros((3, npad), dtype).at[:, :n].set(st_.cmin.T.astype(dtype)))
+        has_box0 = jnp.zeros((npad,), bool).at[:n].set(
+            (st_.cmax[:, 0] - st_.cmin[:, 0]) > 0)
+        cres0 = jnp.zeros((npad,), jnp.int32).at[:n].set(st_.cres)
+        ptrr = jnp.zeros((npad,), jnp.int32).at[:n].set(st_.ptr)
+        # active-chunk page under the CURRENT block layout (slab-local when
+        # slab mode rotates the span; pool rank when resident) — garbage for
+        # out-of-slab frozen lanes is harmless: they never vote or fetch
+        ci = ((F0[_F_CMIN:_F_CMIN + 3].T
+               - jnp.array(spec.origin, dtype)[None, :])
+              / float(settings.chunk_size)).astype(jnp.int32)
+        ciy = jnp.clip(ci[:, 1], 0, CY - 1)
+        ciz = jnp.clip(ci[:, 2], 0, CZ - 1)
+        if slab is not None:
+            lcx = jnp.clip(ci[:, 0] - x0_chunks, 0, scx - 1)
+            page0 = (lcx * CY + ciy) * CZ + ciz
+        else:
+            flatc = (jnp.clip(ci[:, 0], 0, CX - 1) * CY + ciy) * CZ + ciz
+            page0 = (jnp.asarray(page_map, jnp.int32)[flatc]
+                     if resident else flatc)
+        flags0 = (alive0.astype(jnp.int32)
+                  | (has_box0.astype(jnp.int32) << 1)
+                  | (cres0 << _CRES_SHIFT)
+                  | (page0 << _PAGE_SHIFT))
+        eligible = alive0
+        if slab is not None:
+            gx0 = jnp.clip(jnp.floor(pos[:, 0]).astype(jnp.int32)
+                           - spec.origin[0], 0, spec.shape[0] - 1)
+            x0i = jnp.asarray(x0_cells, jnp.int32)
+            eligible = eligible & (gx0 >= x0i) & (gx0 < x0i + slab_w_cells)
+        skey = jnp.where(eligible, ckey * 8 + octant, jnp.int32(2 ** 30))
+        ops = ([skey, sid] + [F0[i] for i in range(F_ROWS)]
+               + [flags0, ptrr])
+        out0 = jax.lax.sort(ops, dimension=0, is_stable=True, num_keys=1)
+        sid_s = out0[1]
+        F = jnp.stack(out0[2:2 + F_ROWS])
+        I = jnp.zeros((I_ROWS, npad), jnp.int32)
+        I = I.at[_I_FLAGS].set(out0[2 + F_ROWS])
+        I = I.at[_I_PTR].set(out0[3 + F_ROWS])
     H = record_hits
     hp = _pad_to(H, 8) if H else 8
     rrows = hp * 2 if (record_cells and H) else hp  # + flat-cell row block
@@ -1166,7 +1306,8 @@ def march_blockwise(
                           tape_rows=Dpad if use_tape else 0, tape_len=D,
                           voxel_mode=voxel_mode,
                           record_cells=record_cells and H > 0, pages=pages,
-                          resident=resident, programs_used=programs_used)
+                          resident=resident, programs_used=programs_used,
+                          slab_width=slab_w_cells)
     grid = (npad // w,)
     state_spec = lambda rows: pl.BlockSpec((rows, w), lambda t, s: (0, t),
                                            memory_space=pltpu.VMEM)
@@ -1322,7 +1463,8 @@ def march_blockwise(
         pos=pos, vel=vel, color=color, energy=energy, step=step, life=life,
         bounces=bounces, alive=alive, cmin=cmin, cmax=cmax, cres=cres,
         ptr=ptr[:n], traversed=trav,
-        it=jnp.zeros((), jnp.int32), hits=hits)
+        it=(resume_state.it if resume_state is not None
+            else jnp.zeros((), jnp.int32)), hits=hits)
 
     if cleanup:
         # finish any ray the static caps under-provisioned for (usually a
@@ -1333,7 +1475,15 @@ def march_blockwise(
             background=background,
             mode="while", record_hits=H, record_traversed=record_traversed,
             voxel_albedo=voxel_albedo, record_cells=record_cells and H > 0,
-            resume_state=state, finalize=False)
+            resume_state=state, finalize=False, slab=slab)
+    if not finalize:
+        # segmented-execution contract (mirrors ops/march.py): raw state
+        # back to the caller for the next ring segment
+        res = MarchResult(
+            color=state.color, energy=state.energy, bounces=state.bounces,
+            step=state.step, pos=state.pos, vel=state.vel,
+            traversed=state.traversed, hits=state.hits, aux=state.aux)
+        return res, state
     res = finalize_background(settings, state, background)
     if return_trips:
         return res, (trips_total, eps_total)
