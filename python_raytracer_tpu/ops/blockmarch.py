@@ -1009,6 +1009,8 @@ def march_blockwise(
     slab=None,
     resume_state=None,
     finalize: bool = True,
+    unsorted: bool = False,
+    return_perm: bool = False,
 ) -> MarchResult:
     """Bit-exact drop-in for ``march(mode="while")`` in key-RNG mode.
 
@@ -1086,11 +1088,28 @@ def march_blockwise(
                              "(unsegmented) march instead")
         if slab is not None and (resident or voxel_albedo is not None):
             raise ValueError("slab segments use the paged block path")
+    if unsorted or return_perm:
+        # split-program mode (see bench.py): the 36-operand final co-sort
+        # is a compile-service hog AND unnecessary for permutation-invariant
+        # consumers (mean losses, table gradients). Results come back in
+        # kernel (coherence-sorted) order with the slot permutation and the
+        # sorted initial velocities for hit-replay alignment.
+        if not (unsorted and return_perm and not finalize):
+            raise ValueError("unsorted/return_perm come as a pair with "
+                             "finalize=False (split-program mode)")
+        if supersteps != 1:
+            raise ValueError("unsorted mode is single-superstep (the "
+                             "returned initial-velocity rows align with "
+                             "the one coherence sort)")
 
     n = rays.pos.shape[0]
     dtype = jnp.float32
     w = tile
     npad = _pad_to(max(n, w), w)
+    if unsorted and npad != n:
+        raise ValueError(
+            f"unsorted mode needs n divisible by tile (n={n}, tile={w}): "
+            "padding lanes would interleave with live rays")
     CX, CY, CZ = spec.chunk_shape
     czp = _pad_to(CZ, 8)
     cxyp = _pad_to(CX * CY, 8)
@@ -1235,6 +1254,7 @@ def march_blockwise(
         F = F.at[_F_LIFE].set(life_s)
         I = jnp.zeros((I_ROWS, npad), jnp.int32)
         I = I.at[_I_FLAGS].set((life_s > 0).astype(jnp.int32))
+        vel0_sT = vel_s  # sorted initial velocities (return_perm)
         if use_tape:
             I = I.at[_I_PTR].set(srt[9])
             tape_s = tapeT0[:, sid_s]
@@ -1293,6 +1313,7 @@ def march_blockwise(
         I = jnp.zeros((I_ROWS, npad), jnp.int32)
         I = I.at[_I_FLAGS].set(out0[2 + F_ROWS])
         I = I.at[_I_PTR].set(out0[3 + F_ROWS])
+        vel0_sT = F[_F_VEL:_F_VEL + 3]  # segment-start velocities
     H = record_hits
     hp = _pad_to(H, 8) if H else 8
     rrows = hp * 2 if (record_cells and H) else hp  # + flat-cell row block
@@ -1409,13 +1430,21 @@ def march_blockwise(
     trips_total = jnp.sum(I2[_I_TRIPS]) // w
     eps_total = jnp.sum(I2[_I_EPS]) // w
 
-    # --- final unsort (one multi-operand co-sort keyed by slot id) ---
-    ops = [sid_s] + [F2[i] for i in range(F_ROWS)] + [
-        I2[_I_FLAGS], I2[_I_PTR], I2[_I_COUNT]] + [R2[i] for i in range(rrows)]
-    out = jax.lax.sort(ops, dimension=0, is_stable=False, num_keys=1)
-    Fo = out[1:1 + F_ROWS]
-    flags, ptr, count = out[1 + F_ROWS:4 + F_ROWS]
-    recs = out[4 + F_ROWS:]
+    if unsorted:
+        # split-program mode: stay in kernel order (the co-sort below is a
+        # compile-service hog and mean losses / table grads don't need it)
+        Fo = [F2[i] for i in range(F_ROWS)]
+        flags, ptr, count = I2[_I_FLAGS], I2[_I_PTR], I2[_I_COUNT]
+        recs = [R2[i] for i in range(rrows)]
+    else:
+        # --- final unsort (one multi-operand co-sort keyed by slot id) ---
+        ops = [sid_s] + [F2[i] for i in range(F_ROWS)] + [
+            I2[_I_FLAGS], I2[_I_PTR], I2[_I_COUNT]] + [R2[i]
+                                                       for i in range(rrows)]
+        out = jax.lax.sort(ops, dimension=0, is_stable=False, num_keys=1)
+        Fo = out[1:1 + F_ROWS]
+        flags, ptr, count = out[1 + F_ROWS:4 + F_ROWS]
+        recs = out[4 + F_ROWS:]
 
     pos = jnp.stack(Fo[_F_POS:_F_POS + 3], axis=-1)[:n]
     vel = jnp.stack(Fo[_F_VEL:_F_VEL + 3], axis=-1)[:n]
@@ -1483,6 +1512,11 @@ def march_blockwise(
             color=state.color, energy=state.energy, bounces=state.bounces,
             step=state.step, pos=state.pos, vel=state.vel,
             traversed=state.traversed, hits=state.hits, aux=state.aux)
+        if return_perm:
+            # split-program extras: slot permutation (row i holds original
+            # ray sid_s[i]) + that order's initial velocities ([n, 3]) for
+            # the hit-replay backward
+            return res, state, sid_s[:n], vel0_sT.T[:n]
         return res, state
     res = finalize_background(settings, state, background)
     if return_trips:

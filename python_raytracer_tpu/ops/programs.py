@@ -27,10 +27,14 @@ init)`` declares a named per-ray f32 scalar; the XLA march then carries one
 ``ray.aux[name]`` and update them by returning ``{name: new_values}`` in the
 updates dict (masked to actual hits by the marcher, exactly like
 color/energy/life/vel). The hit-replay backward (ops/diff.py) threads the
-same rows, so gradients flow through custom-state chains. Scenes whose
-programs use custom ray properties render through the XLA march — the Pallas
-kernel serves the builtin-PBR fast path and callers fall back automatically
-(ops/blockmarch.py blockmarch_supported).
+same rows, so gradients flow through custom-state chains.
+
+Kernel dispatch: programs registered with a lane-major ``rows_fn``
+(HitRayRows/MatRows ABI) run INSIDE the Pallas kernel through
+``dispatch_rows``, so multi-program scenes keep the production path. Scenes
+using custom ray properties, or any program without a rows variant, render
+through the XLA march (ops/blockmarch.py blockmarch_supported decides the
+fallback automatically).
 """
 
 from __future__ import annotations

@@ -664,3 +664,40 @@ def test_blockmarch_resident_traced_grid_and_overflow(scene):
     # overflow: half the occupied chunks don't fit the pool
     out2 = jax.jit(lambda a: run(a, max(1, n_occ // 2)))(cs.arrays)
     assert_same_traj(ref, out2)
+
+
+def test_blockmarch_unsorted_split_mode(scene):
+    """Split-program mode (bench.py): kernel-order outputs + slot
+    permutation + sorted initial velocities; a host unsort must reproduce
+    the fused path bit-for-bit, and the resumed cleanup march must continue
+    the permuted state exactly."""
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(3)
+    rays = _rays(st, cam_pos, cam_rot, 1024, key)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used, record_hits=16)
+    _, state_u, sid_s, vel0 = march_blockwise(
+        st, cs.spec, cs.arrays, rays, key=key, background="sky",
+        programs_used=cs.programs_used, record_hits=16, tile=512,
+        resident=True, inner_cap=4, ep_cap=192, byte_planes=True,
+        cleanup=False, finalize=False, unsorted=True, return_perm=True,
+        interpret=True)
+    res2 = march(st, cs.spec, cs.arrays,
+                 RayBatch(state_u.pos, state_u.vel, state_u.life),
+                 key=key, background="sky", mode="while",
+                 programs_used=cs.programs_used, record_hits=16,
+                 resume_state=state_u)
+    sid = np.asarray(sid_s)
+    inv = np.argsort(sid)
+    np.testing.assert_array_equal(np.asarray(vel0),
+                                  np.asarray(rays.vel)[sid])
+    np.testing.assert_array_equal(np.asarray(res2.color)[inv],
+                                  np.asarray(ref.color))
+    np.testing.assert_array_equal(np.asarray(res2.step)[inv],
+                                  np.asarray(ref.step))
+    np.testing.assert_array_equal(np.asarray(res2.hits.vid)[inv],
+                                  np.asarray(ref.hits.vid))
+    np.testing.assert_array_equal(np.asarray(res2.hits.u)[inv],
+                                  np.asarray(ref.hits.u))
+    np.testing.assert_array_equal(np.asarray(res2.hits.count)[inv],
+                                  np.asarray(ref.hits.count))

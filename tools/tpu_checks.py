@@ -79,6 +79,28 @@ def main():
     if not all(v == 1.0 for v in checks.values()) or cdiff > 0.05:
         failures += 1
 
+    # --- resident VMEM-pool kernel (byte planes) vs XLA march ---
+    t0 = time.time()
+    outr = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                           background="sky", programs_used=cs.programs_used,
+                           record_hits=16, resident=True, byte_planes=True,
+                           inner_cap=4, ep_cap=192)
+    checks_r = {
+        "step": (np.asarray(ref.step) == np.asarray(outr.step)).mean(),
+        "bounces": (np.asarray(ref.bounces)
+                    == np.asarray(outr.bounces)).mean(),
+        "vid": (np.asarray(ref.hits.vid) == np.asarray(outr.hits.vid)).mean(),
+        "count": (np.asarray(ref.hits.count)
+                  == np.asarray(outr.hits.count)).mean(),
+    }
+    cdiff_r = np.abs(np.asarray(ref.color) - np.asarray(outr.color)).max()
+    print(f"resident blockmarch vs XLA march (n={n}): "
+          + " ".join(f"{k}={v:.6f}" for k, v in checks_r.items())
+          + f" color_maxdiff={cdiff_r:.3e} ({time.time()-t0:.1f}s)",
+          flush=True)
+    if not all(v == 1.0 for v in checks_r.values()) or cdiff_r > 0.05:
+        failures += 1
+
     print("OK" if failures == 0 else f"FAILURES: {failures}", flush=True)
     # Stamp the result where bench.py's preamble reports it (VERDICT r3
     # item 7): every BENCH tail carries the latest hardware-equality state.
