@@ -535,6 +535,25 @@ def main():
             "tpu_checks": tpu_checks,
         }
 
+    def kernel_sane(aux):
+        """Sanity gate for kernel-stage numbers: the stock scene averages
+        ~28.7 steps and ~2.6 bounces per ray (BASELINE.md). A Mosaic
+        miscompile makes rays fly through the scene (bounces ~0, steps
+        ~180) — such a number must never become the artifact of record
+        (round-4 incident: the compile service regressed and miscompiled
+        byte-identical kernels that round 2 had proven on hardware)."""
+        try:
+            b = float(aux[1])
+            s = float(aux[0])
+        except Exception:
+            return False
+        ok = (1.0 <= b <= 6.0) and (10.0 <= s <= 80.0)
+        if not ok:
+            print(json.dumps({"event": "kernel-insane",
+                              "steps_per_ray": round(s, 2),
+                              "bounces_per_ray": round(b, 3)}), flush=True)
+        return ok
+
     def fence(out):
         # block_until_ready is a no-op on axon (see _device_health_ms):
         # fence on a tiny data readback. Use the LAST leaf: in the split
@@ -697,14 +716,17 @@ def main():
             fence(out1)
             dt1 = max(1e-9, (time.time() - t0) - rtt / 1e3) / 2
             m1 = n_rays / dt1 / 1e6
-            _BEST.update(
-                metric="Mrays/s/chip FWD-ONLY on default scene "
-                       "(fwd+bwd did not finish in the deadline)",
-                value=round(m1, 4), vs_baseline=round(m1 / 100.0, 6),
-                detail={**detail_base(), "phase": "fwd-only-fallback",
-                        "sec_per_iter": round(dt1, 4)},
-            )
-            _push_best()
+            if kernel_sane(out1[-1]):
+                _BEST.update(
+                    metric="Mrays/s/chip FWD-ONLY on default scene "
+                           "(fwd+bwd did not finish in the deadline)",
+                    value=round(m1, 4), vs_baseline=round(m1 / 100.0, 6),
+                    detail={**detail_base(), "phase": "fwd-only-fallback",
+                            "sec_per_iter": round(dt1, 4)},
+                )
+                _push_best()
+            else:
+                _BEST["detail"]["kernel_insane_fwd"] = True
         except Exception as e:  # fallback must never sink the bench
             _BEST["detail"]["fwd_only_stage_error"] = repr(e)[:200]
 
@@ -719,6 +741,11 @@ def main():
     if exec_fp and not exec_loaded:
         try:
             _BEST["detail"]["phase"] = "exec-save"
+            out_chk = fn(table, rays)
+            fence(out_chk)
+            if not kernel_sane(out_chk[0][1]):
+                raise RuntimeError("kernel output failed the sanity gate; "
+                                   "not persisting executables")
             sizes = {}
             if split3:
                 sizes["A"] = _exec_save(
@@ -759,11 +786,18 @@ def main():
         return dt, rtt, out
 
     # First a 1-iteration measurement so the watchdog already holds a real
-    # number, then the full (more accurate) multi-iteration run.
+    # number, then the full (more accurate) multi-iteration run. Kernel
+    # numbers only count if the march physics are sane (kernel_sane).
     out = None
     for k in (1, iters):
         dt, rtt, out = measure(k)
         mrays = n_rays / dt / 1e6
+        aux_k = None
+        if not compact:
+            aux_k = out[1] if fwd_only else out[0][1]
+        if aux_k is not None and not kernel_sane(aux_k):
+            _BEST["detail"]["kernel_insane"] = True
+            break
         _BEST.update(
             metric="Mrays/s/chip fwd+bwd on default scene",
             value=round(mrays, 4), vs_baseline=round(mrays / 100.0, 6),
@@ -775,7 +809,7 @@ def main():
     # march cost telemetry (SURVEY.md §5.1: the per-ray step/bounce counters
     # the reference carries on the ray record, init.py:55-57)
     aux = None
-    if not compact:
+    if not compact and not _BEST["detail"].get("kernel_insane"):
         aux = out[1] if fwd_only else out[0][1]
     if aux is not None:
         spr = float(aux[0])

@@ -281,8 +281,12 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
         blocks_hbm, coarse_ref, mat_ref = args[i:i + 3]
         F_out, I_out, R_out, T_out = args[i + 3:i + 7]
         if resident:
-            # blocks_hbm is actually the VMEM-resident pool; no DMA scratch
-            (picked,) = args[i + 7:i + 8]
+            # the pool arrives in ANY (HBM) exactly like the paged blocks
+            # (whole-VMEM inputs of pool size miscompiled on hardware:
+            # coarse/mat8 read zeros — ROADMAP round-4 forensics) and is
+            # DMA'd ONCE into a persistent VMEM scratch below; no per-
+            # episode vote DMAs.
+            pool_scr, pool_sem, picked = args[i + 7:i + 10]
             bufs = sems = None
         else:
             bufs, sems, picked = args[i + 7:i + 10]
@@ -352,7 +356,6 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
             if pages == 1:
                 new_loaded = loaded[0]
                 fetches = []
-                served = []  # resident: per-group served-page scalar
                 for g in range(groups):
                     vk = jnp.max(votekey[g * 256:(g + 1) * 256])
                     vote = jnp.where(vk >= 0, vk & 0xFFFFF,
@@ -361,8 +364,8 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                     pred = vk >= 0  # groups w/o waiting lanes skip the fetch
                     if resident:
                         # no DMA: the pool is VMEM-resident; the cell fetch
-                        # below reads blocks_hbm[safe] directly
-                        served.append(safe)
+                        # reads blocks_hbm[loaded-page] directly in-region
+                        pass
                     elif "nodma" not in _abl:
                         fetches.append((g, pred, safe))
 
@@ -521,6 +524,11 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                             oh_cz, oh_cxy, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
                         T_out[0] = T_out[0] | (acc > 0).astype(jnp.int32)
+                if "dumpcw" in _abl:
+                    # debug: expose the raw coarse word per lane via the
+                    # ptr row (state.ptr after unsorted return)
+                    I_out[_I_PTR] = (res_c << 3) | 0
+                    I_out[_I_PTR] = I_out[_I_PTR] | (page_c << 8)
                 cmx = jnp.where(switch, sx, cmx)
                 cmy = jnp.where(switch, sy, cmy)
                 cmz = jnp.where(switch, sz, cmz)
@@ -559,15 +567,22 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                         @pl.when(jnp.any(need_word[sl]))
                         def _(g=g, sl=sl):
                             # resident: read the served page straight out of
-                            # the VMEM pool (dynamic leading-dim index);
-                            # otherwise the group's DMA-staged buffer
+                            # the VMEM pool. The page index is extracted
+                            # HERE, inside this region, from the loaded
+                            # vector (static-index lane extract — the
+                            # proven pattern): a Python-carried scalar from
+                            # the episode body miscompiled on hardware
+                            # (garbage pages; interpret mode was exact).
+                            if resident:
+                                sg = jnp.clip(loaded[0][g * 256], 0,
+                                              blocks_hbm.shape[0] - 1)
                             if byte_planes:
                                 # 4 single-pass bf16 byte-plane matmuls
                                 # (exact: bytes <= 255, one-hot contraction)
                                 oh = _onehot_T(hi[sl], 128, 256, jnp.bfloat16)
                                 for b in range(4):
                                     rows_T = jnp.dot(
-                                        blocks_hbm[served[g], b] if resident
+                                        pool_scr[sg, b] if resident
                                         else bufs[g, b], oh,
                                         preferred_element_type=jnp.float32)
                                     picked[b, sl] = _sublane_pick(
@@ -575,7 +590,7 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                             else:
                                 oh = _onehot_T(hi[sl], 128, 256)
                                 rows_T = jnp.dot(
-                                    blocks_hbm[served[g]] if resident
+                                    pool_scr[sg] if resident
                                     else bufs[g],
                                     oh,
                                     preferred_element_type=jnp.float32)
@@ -953,6 +968,13 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
             else:
                 live = jnp.any(alive)
             return ep1, live, loaded
+
+        if resident:
+            # stage the whole occupied-chunk pool in VMEM before marching
+            # (one bulk DMA per tile; the scene fits — pack_blocks budget
+            # check). Every later fetch reads pool_scr[page] directly.
+            pltpu.make_async_copy(blocks_hbm, pool_scr, pool_sem).start()
+            pltpu.make_async_copy(blocks_hbm, pool_scr, pool_sem).wait()
 
         loaded0 = tuple(jnp.full((w,), -1, jnp.int32) for _ in range(pages))
         jax.lax.while_loop(episode_cond, episode_body,
@@ -1346,8 +1368,7 @@ def march_blockwise(
                     state_spec(I_ROWS),
                     state_spec(rrows),
                 ] + ([state_spec(Dpad)] if use_tape else []) + [
-                    pl.BlockSpec(memory_space=(pltpu.VMEM if resident
-                                               else pl.ANY)),
+                    pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
@@ -1356,6 +1377,10 @@ def march_blockwise(
                            pl.BlockSpec((1, czp, cxyp), lambda t, s: (t, 0, 0),
                                         memory_space=pltpu.VMEM)],
                 scratch_shapes=([
+                    (pltpu.VMEM((blocks.shape[0], 4, 32, 128), jnp.bfloat16)
+                     if byte_planes else
+                     pltpu.VMEM((blocks.shape[0], 64, 128), jnp.float32)),
+                    pltpu.SemaphoreType.DMA,
                     pltpu.VMEM(((4 if byte_planes else
                                  (5 if voxel_mode else 2))
                                 + (1 if group_coarse else 0), w), jnp.float32),
