@@ -103,6 +103,10 @@ def _parent(deadline_sec: float):
                       file=sys.stderr, flush=True)
             elif obj.get("event") == "done":
                 done = True
+            else:
+                # forward diagnostics (health/exec-fp/exec-saved/...) so
+                # they are visible in the parent's stderr log
+                print(line.rstrip(), file=sys.stderr, flush=True)
 
         while time.time() - t0 < deadline_sec:
             for _ in sel.select(timeout=1.0):
@@ -697,6 +701,8 @@ def main():
                 _tstate["transport"] = "deserialized"
         except Exception as e:
             _BEST["detail"]["exec_error"] = repr(e)[:200]
+            print(json.dumps({"event": "exec-error",
+                              "error": repr(e)[:300]}), flush=True)
 
     # Stage 1 (unless already the target): a forward-only measurement so the
     # watchdog always holds a REAL number even if the backward compile
@@ -771,6 +777,8 @@ def main():
                               "bytes": sizes}), flush=True)
         except Exception as e:
             _BEST["detail"]["exec_save_error"] = repr(e)[:200]
+            print(json.dumps({"event": "exec-save-error",
+                              "error": repr(e)[:300]}), flush=True)
 
     detail = {**detail_base(), "compile_sec": round(compile_s, 1)}
 

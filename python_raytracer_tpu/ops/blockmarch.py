@@ -171,8 +171,18 @@ def pack_blocks(spec: GridSpec, cell_word, chunk_res, byte_planes=False,
         flat = jnp.asarray(page_map, jnp.int32)
     cword = chunk_res.astype(jnp.int32) | (flat << 3)
     cword = cword.reshape(CX, CY, CZ).transpose(2, 0, 1).reshape(CZ, CX * CY)
-    coarse = jnp.zeros((_pad_to(CZ, 8), _pad_to(CX * CY, 8)), jnp.float32)
-    coarse = coarse.at[:CZ, : CX * CY].set(cword.astype(jnp.float32))
+    # TWO bf16 byte planes (lo = word & 0xFF, hi = word >> 8): each value
+    # <= 255 is bf16-exact and a one-hot contraction sums exactly one
+    # product, so the chunk-table lookup runs as two single-pass bf16
+    # matmuls. (An f32 plane needs multi-pass HIGHEST dots: the round-4
+    # compile service lowers default-precision f32 dots as single-pass
+    # bf16, which silently truncates packed integers — ROADMAP forensics.)
+    coarse = jnp.zeros((2, _pad_to(CZ, 8), _pad_to(CX * CY, 8)),
+                       jnp.bfloat16)
+    coarse = coarse.at[0, :CZ, : CX * CY].set(
+        (cword & 0xFF).astype(jnp.bfloat16))
+    coarse = coarse.at[1, :CZ, : CX * CY].set(
+        (cword >> 8).astype(jnp.bfloat16))
     return blocks, coarse
 
 
@@ -455,10 +465,14 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                                & (ccy < CY) & (ccz >= 0) & (ccz < CZ))
                     cxy = jnp.where(in_grid, ccx * CY + ccy, -1)
                     czi_ = jnp.where(in_grid, ccz, -1)
-                    oh = _onehot_T(cxy, cxyp, w)
-                    rows_T = jnp.dot(coarse_ref[:], oh,
-                                     preferred_element_type=jnp.float32)
-                    cw = _sublane_pick(rows_T, czi_, czp, w).astype(jnp.int32)
+                    oh = _onehot_T(cxy, cxyp, w, jnp.bfloat16)
+                    lo_T = jnp.dot(coarse_ref[0], oh,
+                                   preferred_element_type=jnp.float32)
+                    hi_T = jnp.dot(coarse_ref[1], oh,
+                                   preferred_element_type=jnp.float32)
+                    cw = (_sublane_pick(lo_T, czi_, czp, w).astype(jnp.int32)
+                          | (_sublane_pick(hi_T, czi_, czp, w)
+                             .astype(jnp.int32) << 8))
                     return cw & 7, cw >> 3, sx, sy, sz
 
                 any_switch = jnp.any(switch)
@@ -490,12 +504,19 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
 
                         @pl.when(jnp.any(switch[sl]))
                         def _(g=g, sl=sl):
-                            oh = _onehot_T(cxy[sl], cxyp, 256)
-                            rows_T = jnp.dot(coarse_ref[:], oh,
-                                             preferred_element_type=jnp.float32)
-                            picked[crow, sl] = _sublane_pick(rows_T, czi_[sl],
-                                                             czp, 256)
-                    cw = picked[crow, :].astype(jnp.int32)
+                            oh = _onehot_T(cxy[sl], cxyp, 256, jnp.bfloat16)
+                            lo_T = jnp.dot(
+                                coarse_ref[0], oh,
+                                preferred_element_type=jnp.float32)
+                            hi_T = jnp.dot(
+                                coarse_ref[1], oh,
+                                preferred_element_type=jnp.float32)
+                            picked[crow, sl] = _sublane_pick(
+                                lo_T, czi_[sl], czp, 256)
+                            picked[crow + 1, sl] = _sublane_pick(
+                                hi_T, czi_[sl], czp, 256)
+                    cw = (picked[crow, :].astype(jnp.int32)
+                          | (picked[crow + 1, :].astype(jnp.int32) << 8))
                     res_c, page_c = cw & 7, cw >> 3
                 else:
                     res_c, page_c, sx, sy, sz = jax.lax.cond(
@@ -522,7 +543,8 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                         oh_cxy = _onehot_T(cxy_t, cxyp, w)
                         acc = jax.lax.dot_general(
                             oh_cz, oh_cxy, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
                         T_out[0] = T_out[0] | (acc > 0).astype(jnp.int32)
                 if "dumpcw" in _abl:
                     # debug: expose the raw coarse word per lane via the
@@ -593,7 +615,8 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                                     pool_scr[sg] if resident
                                     else bufs[g],
                                     oh,
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
                                 picked[0, sl] = _sublane_pick(rows_T, lo[sl],
                                                               brows, 256)
                                 picked[1, sl] = _sublane_pick(
@@ -637,7 +660,8 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                                     oh = _onehot_T(mhi, 128, 256)
                                     rows_T = jnp.dot(
                                         bufs[g, p], oh,
-                                        preferred_element_type=jnp.float32)
+                                        preferred_element_type=jnp.float32,
+                                        precision=jax.lax.Precision.HIGHEST)
                                     picked[0, sl] = picked[0, sl] + \
                                         _sublane_pick(rows_T, lo[sl],
                                                       brows, 256)
@@ -683,7 +707,8 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                         mrows = jnp.zeros((8, w), jnp.float32)
                     else:
                         mrows = jnp.dot(mat_ref[:], _onehot_T(vid, kp, w),
-                                        preferred_element_type=jnp.float32)
+                                        preferred_element_type=jnp.float32,
+                                        precision=jax.lax.Precision.HIGHEST)
                     alb_r, alb_g, alb_b = mrows[0], mrows[1], mrows[2]
                     if voxel_mode:
                         # dense per-cell albedo offset (ops/march.py
@@ -1197,9 +1222,9 @@ def march_blockwise(
                                            res_slab,
                                            byte_planes=byte_planes)
         coarse = jax.lax.dynamic_update_slice(
-            jnp.zeros((czp, cxyp), jnp.float32),
-            coarse_local[:CZ, : scx * CY],
-            (jnp.int32(0), x0_chunks * jnp.int32(CY)))
+            jnp.zeros((2, czp, cxyp), jnp.bfloat16),
+            coarse_local[:, :CZ, : scx * CY],
+            (jnp.int32(0), jnp.int32(0), x0_chunks * jnp.int32(CY)))
     else:
         blocks, coarse = pack_blocks(spec, arrays.cell_word,
                                      arrays.chunk_res,
@@ -1383,7 +1408,7 @@ def march_blockwise(
                     pltpu.SemaphoreType.DMA,
                     pltpu.VMEM(((4 if byte_planes else
                                  (5 if voxel_mode else 2))
-                                + (1 if group_coarse else 0), w), jnp.float32),
+                                + (2 if group_coarse else 0), w), jnp.float32),
                 ] if resident else [
                     ((pltpu.VMEM((groups, 4, 32, 128), jnp.bfloat16)
                       if byte_planes else
@@ -1398,7 +1423,7 @@ def march_blockwise(
                     pltpu.SemaphoreType.DMA((groups,)),
                     pltpu.VMEM(((4 if byte_planes else
                                  (5 if voxel_mode else 2))
-                                + (1 if group_coarse else 0), w), jnp.float32),
+                                + (2 if group_coarse else 0), w), jnp.float32),
                 ]),
             ),
             out_shape=[

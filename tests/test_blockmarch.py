@@ -149,7 +149,9 @@ def test_pack_blocks_roundtrip(scene):
         lo, hi = c & 31, c >> 5
         word = int(b[page, lo, hi]) | (int(b[page, 32 + lo, hi]) << 16)
         assert word == int(cw[x, y, z])
-        cword = int(np.asarray(coarse)[z // 16, (x // 16) * CY + y // 16])
+        cpl = np.asarray(coarse.astype('float32'))
+        cword = (int(cpl[0, z // 16, (x // 16) * CY + y // 16])
+                 | (int(cpl[1, z // 16, (x // 16) * CY + y // 16]) << 8))
         assert cword >> 3 == page
         assert cword & 7 == int(np.asarray(cs.arrays.chunk_res)[page])
 

@@ -61,9 +61,20 @@ def main():
     t0 = time.time()
     ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
                 mode="while", programs_used=cs.programs_used, record_hits=16)
-    out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
-                          background="sky", programs_used=cs.programs_used,
-                          record_hits=16)
+    if os.environ.get("CHECK_PAGED", "0") != "1":
+        # the paged (vote+DMA) kernel costs ~1000 s to compile on the
+        # round-4 service; the resident kernel is the production path and
+        # compiles in seconds. CHECK_PAGED=1 restores the full matrix.
+        out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                              background="sky",
+                              programs_used=cs.programs_used,
+                              record_hits=16, resident=True, inner_cap=4,
+                              ep_cap=192)
+    else:
+        out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                              background="sky",
+                              programs_used=cs.programs_used,
+                              record_hits=16)
     checks = {
         "step": (np.asarray(ref.step) == np.asarray(out.step)).mean(),
         "bounces": (np.asarray(ref.bounces) == np.asarray(out.bounces)).mean(),
