@@ -347,8 +347,8 @@ def main():
     block_kw = dict(
         tile=int(os.environ.get("BENCH_TILE", "2048")),
         supersteps=int(os.environ.get("BENCH_SUPERSTEPS", "1")),
-        ep_cap=int(os.environ.get("BENCH_EP_CAP", "192")),
-        inner_cap=int(os.environ.get("BENCH_INNER_CAP", "4")),
+        ep_cap=int(os.environ.get("BENCH_EP_CAP", "384")),
+        inner_cap=int(os.environ.get("BENCH_INNER_CAP", "2")),
         unroll=int(os.environ.get("BENCH_BLOCK_UNROLL", "1")),
         byte_planes=os.environ.get("BENCH_BYTE_PLANES", "1") == "1",
         group_coarse=os.environ.get("BENCH_GROUP_COARSE", "0") == "1",
@@ -660,16 +660,22 @@ def main():
     if not fwd_only and not compact and block and "f_fwd" in dir():
         try:
             _BEST["detail"]["phase"] = "exec-fingerprint"
-            import python_raytracer_tpu.ops.diff as _dm
-            import python_raytracer_tpu.ops.march as _mm
-            import python_raytracer_tpu.ops.programs as _pm
-            import python_raytracer_tpu.utils.rng as _rm
+            import importlib
+
+            # importlib.import_module, NOT ``import a.b as m``: the ops
+            # package re-exports same-named FUNCTIONS (ops.march etc.)
+            # which shadow the submodules on attribute lookup
+            srcs = [importlib.import_module(nm).__file__ for nm in (
+                "python_raytracer_tpu.ops.diff",
+                "python_raytracer_tpu.ops.march",
+                "python_raytracer_tpu.ops.programs",
+                "python_raytracer_tpu.utils.rng")]
             trace_fn = fwd_A if split3 else fwd
             exec_fp = _program_fingerprint(
                 trace_fn, (table, rays),
                 {"rays": n_rays, "block_kw": block_kw, "max_hits": max_hits,
                  "split3": split3},
-                extra_src=[m.__file__ for m in (_dm, _mm, _pm, _rm)])
+                extra_src=srcs)
             names = ("A", "B", "bwd") if split3 else ("fwd", "bwd")
             exec_paths = {nm: os.path.join(_EXEC_DIR, f"{nm}-{exec_fp}.pkl")
                           for nm in names}

@@ -63,7 +63,8 @@ def _replay(table, settings: Settings, records: HitRecords, v0,
         vid, u, flip, pid, cell = rec
         live = idx < records.count  # [N]
         onehot = (vid[:, None] == jnp.arange(table.shape[0])[None, :]).astype(dtype)
-        rows = jnp.dot(onehot, table, preferred_element_type=dtype)
+        rows = jnp.dot(onehot, table, preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
         albedo = rows[:, M.PARAM_ALBEDO_R : M.PARAM_ALBEDO_B + 1]
         if voxel_albedo is not None:
             albedo = albedo + voxel_albedo.astype(dtype)[cell]

@@ -337,7 +337,8 @@ def march(
         # faster than TPU dynamic row gathers; also gives the backward pass a
         # clean transposed-matmul gradient into the table.
         onehot = (vid[:, None] == jnp.arange(table.shape[0])[None, :]).astype(dtype)
-        rows = jnp.dot(onehot, table, preferred_element_type=dtype)
+        rows = jnp.dot(onehot, table, preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
         albedo = rows[:, M.PARAM_ALBEDO_R : M.PARAM_ALBEDO_B + 1]
         gsafe_flat = None
         if voxel_albedo is not None or record_cells:
