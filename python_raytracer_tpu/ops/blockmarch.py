@@ -143,6 +143,14 @@ def pack_blocks(spec: GridSpec, cell_word, chunk_res, byte_planes=False,
     if cs * cs * cs != 4096:
         raise ValueError("blockmarch requires chunk_size 16")
     CX, CY, CZ = spec.chunk_shape
+    if page_map is None and CX * CY * CZ * 8 + 7 >= (1 << 16):
+        # the coarse word (res | page<<3) is stored as TWO bf16 byte planes
+        # (<= 255 each = 16 usable bits); without a page_map bounding the
+        # page field, grids past 8191 chunks would silently corrupt lookups
+        # (ADVICE r4). Resident mode compacts pages and stays in range.
+        raise ValueError(
+            f"chunk grid {CX}x{CY}x{CZ} overflows the 16-bit coarse word; "
+            "use resident mode (page_map compaction) or the XLA march")
 
     def to_lohi(flat):
         v = flat.reshape(CX, cs, CY, cs, CZ, cs)
@@ -1021,7 +1029,12 @@ def blockmarch_supported(settings: Settings, spec: GridSpec,
             and all(P.has_rows_program(p) for p in programs_used)
             and not P.ray_properties()
             and settings.march_steps >= settings.dist_max
-            and settings.chunk_size ** 3 == 4096)
+            and settings.chunk_size ** 3 == 4096
+            # conservative 16-bit coarse-word guard (ADVICE r4): grids past
+            # 8191 chunks overflow the two bf16 byte planes in paged mode;
+            # resident mode's page_map compaction can still serve them via
+            # march_blockwise(resident=True) directly when occupancy fits
+            and spec.num_chunks * 8 + 7 < (1 << 16))
 
 
 def march_blockwise(
@@ -1202,6 +1215,10 @@ def march_blockwise(
             raise ValueError(
                 f"resident pool ({nocc} chunks x {per_chunk} B) exceeds "
                 "the VMEM budget; use the paged (vote+DMA) mode")
+        if nocc * 8 + 7 >= (1 << 16):
+            # page ids ride the two bf16 coarse byte planes (ADVICE r4)
+            raise ValueError(f"resident pool ({nocc} pages) overflows the "
+                             "16-bit coarse word; cap below 8192 pages")
     if slab is not None:
         # grid-TP segment: arrays.cell_word holds only this device's X-slab
         # (parallel/gridshard.py). Blocks come from the slab's own cells

@@ -129,6 +129,38 @@ def _replay(table, settings: Settings, records: HitRecords, v0,
     return color, energy
 
 
+def make_replay(settings: Settings, background: Optional[str] = "sky",
+                programs_used=(0,), program_ids=None,
+                fast: Optional[bool] = None, tile: int = 2048):
+    """Build ``replay(table, hits, v0) -> (color, energy)`` — the shading
+    chain the backward differentiates, selecting the fused Pallas replay
+    (ops/replay_block.py: forward AND backward in lane-major kernels, no
+    [N, H] HBM carry round-trips) when the configuration supports it.
+
+    ``fast``: None = auto (fused on TPU for single-program-PBR f32 scenes —
+    the production bench configuration), False = always the XLA ``_replay``
+    scan, True = require the fused kernel (raises if unsupported)."""
+    from python_raytracer_tpu.ops.replay_block import (make_replay_block,
+                                                       replay_block_supported)
+
+    supported = replay_block_supported(programs_used)
+    if fast is True and not supported:
+        raise ValueError("fused replay unsupported for this configuration "
+                         "(needs single-program PBR, no ray properties)")
+    use = fast if fast is not None else (
+        supported and jax.default_backend() == "tpu")
+    fused = make_replay_block(settings, background, tile=tile) if use else None
+
+    def replay(table, hits: HitRecords, v0):
+        if fused is not None and table.dtype == jnp.float32 \
+                and v0.dtype == jnp.float32:
+            return fused(table, hits, v0)
+        return _replay(table, settings, hits, v0, background,
+                       programs_used, program_ids)
+
+    return replay
+
+
 def make_diff_renderer(
     settings: Settings,
     spec: GridSpec,
@@ -140,6 +172,7 @@ def make_diff_renderer(
     with_stats: bool = False,
     voxel_grid: bool = False,
     block_kw: Optional[dict] = None,
+    fast_replay: Optional[bool] = None,
 ):
     """Build ``render(table, arrays, rays, key) -> (color [N,3], energy [N])``
     differentiable w.r.t. ``table`` with the while-march forward + hit-replay
@@ -167,6 +200,22 @@ def make_diff_renderer(
     settings = settings.replace(exact=False)
     if voxel_grid and forward not in ("while", "block"):
         raise ValueError("voxel_grid needs the while or block forward")
+    # fused Pallas replay for the non-voxel backward (ops/replay_block.py);
+    # the voxel-grid path needs the scatter-add VJP into the albedo grid and
+    # keeps the XLA replay
+    from python_raytracer_tpu.ops.replay_block import (make_replay_block,
+                                                       replay_block_supported)
+
+    use_fast = fast_replay if fast_replay is not None else (
+        replay_block_supported(programs_used)
+        and jax.default_backend() == "tpu")
+    _fused = (make_replay_block(settings, background)
+              if use_fast and not voxel_grid else None)
+
+    def _replay_any(t, hits, v0, pids):
+        if _fused is not None and t.dtype == jnp.float32:
+            return _fused(t, hits, v0)
+        return _replay(t, settings, hits, v0, background, programs_used, pids)
 
     def _forward(table, voxg, arrays: SceneArrays, rays: RayBatch, key):
         arr = dataclasses.replace(arrays, material_table=table)
@@ -238,7 +287,7 @@ def make_diff_renderer(
     def render_bwd(residuals, g):
         table, hits, v0, program_ids = residuals
         _, vjp = jax.vjp(
-            lambda t: _replay(t, settings, hits, v0, background, programs_used, program_ids),
+            lambda t: _replay_any(t, hits, v0, program_ids),
             table,
         )
         (dtable,) = vjp(g[:2] if with_stats else g)

@@ -129,6 +129,7 @@ class Engine:
                         jax.device_get(self.compiled.arrays.chunk_res) > 0
                     ).sum())
                     block_kw["resident_cap"] = max(8, occ0 + (occ0 >> 2))
+                self._resident_cap = block_kw["resident_cap"]
             self._render = jax.jit(
                 lambda arrays, cam_pos, cam_rot, lens, key: render_frame(
                     st, self.compiled.spec, arrays, cam_pos, cam_rot, lens,
@@ -184,6 +185,22 @@ class Engine:
             arrays, world_ids=self._world_dev, baked_ids=baked,
             chunk_res=chunk_res, cell_word=cell_word,
         )
+        # resident-pool overflow signal (ADVICE r4): occupancy past the
+        # static resident_cap silently pushes chunks to the per-frame XLA
+        # cleanup march — correct but a quiet performance cliff, so count
+        # overflow ranks and surface them. One scalar readback per rebake
+        # (chunk-cadence, not per frame).
+        cap = getattr(self, "_resident_cap", 0)
+        if cap:
+            occ = int(jax.device_get(jnp.sum(chunk_res > 0)))
+            if occ > cap:
+                over = occ - cap
+                if self.metrics is not None:
+                    self.metrics.log("resident_overflow", occupied=occ,
+                                     cap=cap, overflow=over)
+                else:
+                    print(f"[engine] resident pool overflow: {occ} occupied "
+                          f"chunks > cap {cap} ({over} to cleanup march)")
 
     def refresh_materials(self):
         """Re-read edited Material objects into the device table.

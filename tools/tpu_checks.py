@@ -112,6 +112,37 @@ def main():
     if not all(v == 1.0 for v in checks_r.values()) or cdiff_r > 0.05:
         failures += 1
 
+    # --- fused Pallas replay (fwd + bwd kernels) vs the XLA scan replay ---
+    from python_raytracer_tpu.ops.diff import _replay
+    from python_raytracer_tpu.ops.replay_block import make_replay_block
+
+    t0 = time.time()
+    table = cs.arrays.material_table.astype(jnp.float32)
+    v0 = rays.vel
+    c_x, _ = _replay(table, st, ref.hits, v0, "sky", cs.programs_used,
+                     cs.arrays.program)
+    replay_f = make_replay_block(st, "sky", interpret=False)
+    c_b, _ = replay_f(table, ref.hits, v0)
+    fdiff = float(np.abs(np.asarray(c_b) - np.asarray(c_x)).max())
+
+    def loss_x(t):
+        c, _ = _replay(t, st, ref.hits, v0, "sky", cs.programs_used,
+                       cs.arrays.program)
+        return jnp.mean(c / 255.0)
+
+    def loss_b(t):
+        c, _ = replay_f(t, ref.hits, v0)
+        return jnp.mean(c / 255.0)
+
+    g_x = np.asarray(jax.jit(jax.grad(loss_x))(table))
+    g_b = np.asarray(jax.jit(jax.grad(loss_b))(table))
+    scale = max(1e-12, np.abs(g_x).max())
+    gdiff = float(np.abs(g_b - g_x).max() / scale)
+    print(f"fused replay vs XLA replay (n={n}): color_maxdiff={fdiff:.3e} "
+          f"grad_reldiff={gdiff:.3e} ({time.time()-t0:.1f}s)", flush=True)
+    if fdiff > 0.05 or gdiff > 1e-3 or not np.isfinite(g_b).all():
+        failures += 1
+
     print("OK" if failures == 0 else f"FAILURES: {failures}", flush=True)
     # Stamp the result where bench.py's preamble reports it (VERDICT r3
     # item 7): every BENCH tail carries the latest hardware-equality state.
