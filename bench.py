@@ -881,6 +881,11 @@ def main():
             rtt_s = _rtt_ms()
 
             def _stage(f, *a, reps=5):
+                # one unmeasured warmup dispatch first: the first call of a
+                # program after other work carries a large one-off overhead
+                # (measured ~0.3-1 s even for warm programs over the axon
+                # tunnel) that would pollute the mean
+                fence(f(*a))
                 t0 = time.time()
                 o = None
                 for _ in range(reps):

@@ -233,7 +233,8 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                  record_cells: bool = False, pages: int = 1,
                  resident: bool = False,
                  programs_used: Tuple[int, ...] = (M.PROGRAM_PBR,),
-                 slab_width: int = 0):
+                 slab_width: int = 0,
+                 prop_names: Tuple[str, ...] = ()):
     """Build the kernel body (all settings/geometry static).
 
     ``pages`` > 1: each group holds P resident chunk blocks instead of one
@@ -287,6 +288,9 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
     hp = _pad_to(H, 8) if H else 8
     SX, SY, SZ = spec.shape
     brows = 160 if voxel_mode else 64  # f32-halves block rows
+    nprops = len(prop_names)  # registered ray-property rows ride the state
+    # block after the builtin F rows (reference mutable ray store,
+    # README.md:96; ops/programs.py register_ray_property)
 
     def kernel(scal_ref, *args):
         i = 0
@@ -707,6 +711,7 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 step = F_out[_F_STEP]
                 life = F_out[_F_LIFE]
                 bounces = F_out[_F_BOUNCES]
+                prop_rows = tuple(F_out[F_ROWS + i] for i in range(nprops))
                 ptr = I_out[_I_PTR]
                 zero_i = jnp.zeros((w,), jnp.int32)
 
@@ -755,6 +760,8 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                     u1 = jnp.where(need_draw, u1, 0.5)
                     u2 = jnp.where(need_draw, u2, 0.5)
 
+                    aux = ({nm: prop_rows[i]
+                            for i, nm in enumerate(prop_names)} or None)
                     if tuple(programs_used) == (M.PROGRAM_PBR,):
                         # inline builtin PBR (reference lib.py:448-460) — the
                         # single-program fast path, trace-identical to the
@@ -781,6 +788,7 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                                         vy)
                         nvz = jnp.where(hit, vz + (-1.0 + u2 * 2.0) * rough,
                                         vz)
+                        nprop = prop_rows  # builtin PBR touches no props
                     else:
                         # masked multi-program dispatch (the ABI's expert
                         # select, ops/programs.py dispatch_rows; per-material
@@ -789,7 +797,7 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                         rayv = P.HitRayRows(
                             color=(color_r, color_g, color_b), energy=energy,
                             life=life, vel=(vx, vy, vz), bounces=bounces,
-                            step=step)
+                            step=step, aux=aux)
                         matv = P.MatRows(
                             albedo=(alb_r, alb_g, alb_b), roughness=rough,
                             absorption=absorb, ior=ior, energy=menergy)
@@ -806,6 +814,13 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                         nvx = jnp.where(hit, uvx, vx)
                         nvy = jnp.where(hit, uvy, vy)
                         nvz = jnp.where(hit, uvz, vz)
+                        # registered ray properties update like the builtin
+                        # fields: program output masked to actual hits
+                        # (ops/march.py aux rule)
+                        nprop = tuple(
+                            jnp.where(hit, upd.get(nm, prop_rows[i]),
+                                      prop_rows[i])
+                            for i, nm in enumerate(prop_names))
                     bo = jnp.where(hit, bounces + bounce, bounces)
                     cresf = cres.astype(jnp.float32)
                     lf = jnp.where(hit, lf / (cresf + bounce * lod_bounces),
@@ -842,15 +857,18 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                         | (flips[2].astype(jnp.int32) << 2)), 0)
                     return (cr, cg, cb, en, lf, nvx, nvy, nvz, bo,
                             term.astype(jnp.int32), fb,
-                            need_draw.astype(jnp.int32))
+                            need_draw.astype(jnp.int32)) + nprop
 
                 any_hit = jnp.any(hit)
-                (color_r, color_g, color_b, energy, life, vx, vy, vz,
-                 bounces, term_i, fb, need_draw_i) = jax.lax.cond(
+                outs = jax.lax.cond(
                     any_hit, shade,
                     lambda _: (color_r, color_g, color_b, energy, life,
-                               vx, vy, vz, bounces, zero_i, zero_i, zero_i),
+                               vx, vy, vz, bounces, zero_i, zero_i, zero_i)
+                    + prop_rows,
                     0)
+                (color_r, color_g, color_b, energy, life, vx, vy, vz,
+                 bounces, term_i, fb, need_draw_i) = outs[:12]
+                prop_rows = outs[12:]
                 term = term_i > 0
                 ptr_pre = ptr
                 if tape_rows:
@@ -937,6 +955,8 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 F_out[_F_CMIN] = cmx
                 F_out[_F_CMIN + 1] = cmy
                 F_out[_F_CMIN + 2] = cmz
+                for pi in range(nprops):
+                    F_out[F_ROWS + pi] = prop_rows[pi]
                 stall = (I_out[_I_FLAGS] >> _STALL_SHIFT) & _STALL_MAX
                 nflags = (alive.astype(jnp.int32)
                           | (has_box.astype(jnp.int32) << 1)
@@ -1027,7 +1047,6 @@ def blockmarch_supported(settings: Settings, spec: GridSpec,
     return (not settings.exact
             and (tape is None or int(tape.shape[-1]) <= 256)
             and all(P.has_rows_program(p) for p in programs_used)
-            and not P.ray_properties()
             and settings.march_steps >= settings.dist_max
             and settings.chunk_size ** 3 == 4096
             # conservative 16-bit coarse-word guard (ADVICE r4): grids past
@@ -1098,8 +1117,9 @@ def march_blockwise(
     Constraints (callers fall back to the XLA march otherwise): f32 rays,
     every scene program registered with a lane-major ``rows_fn`` (builtin
     PBR included; ops/programs.py dispatch_rows runs the masked
-    multi-program select in-kernel), no custom ray properties,
-    chunk_size 16, exact=False, tape D <= 256,
+    multi-program select in-kernel; registered custom ray properties ride
+    the kernel state as extra lane-major rows and reach programs as
+    ``HitRayRows.aux``), chunk_size 16, exact=False, tape D <= 256,
     march_steps >= dist_max (the global iteration cap must never truncate
     a ray mid-flight — true for every reference config since each
     iteration advances step by >= 1 and life <= dist_max).
@@ -1112,9 +1132,12 @@ def march_blockwise(
             "blockmarch dispatches lane-major program variants in-kernel; "
             "register_program(..., rows_fn=...) every program in the scene "
             "or fall back to the XLA march (blockmarch_supported)")
-    if P.ray_properties():
-        raise ValueError("blockmarch has no custom ray-state rows; scenes "
-                         "with registered ray properties use the XLA march")
+    # registered custom ray properties ride the kernel state as extra
+    # lane-major f32 rows after the builtin F rows (VERDICT r4 item 4);
+    # programs read them via HitRayRows.aux inside dispatch_rows
+    props = P.ray_properties()
+    nprops = len(props)
+    frows = F_ROWS + nprops
     if settings.march_steps < settings.dist_max:
         raise ValueError("blockmarch requires march_steps >= dist_max")
     if key is None:
@@ -1312,10 +1335,12 @@ def march_blockwise(
         vel_s = jnp.stack(srt[5:8], axis=0)
         life_s = srt[8]
 
-        F = jnp.zeros((F_ROWS, npad), dtype)
+        F = jnp.zeros((frows, npad), dtype)
         F = F.at[_F_POS:_F_POS + 3].set(pos_s)
         F = F.at[_F_VEL:_F_VEL + 3].set(vel_s)
         F = F.at[_F_LIFE].set(life_s)
+        for pi, (_, init) in enumerate(props):
+            F = F.at[F_ROWS + pi].set(jnp.full((npad,), init, dtype))
         I = jnp.zeros((I_ROWS, npad), jnp.int32)
         I = I.at[_I_FLAGS].set((life_s > 0).astype(jnp.int32))
         vel0_sT = vel_s  # sorted initial velocities (return_perm)
@@ -1326,7 +1351,11 @@ def march_blockwise(
         # --- resume a partial march (grid-TP segments, gridshard ring) ---
         st_ = resume_state
         alive0 = jnp.zeros((npad,), bool).at[:n].set(st_.alive)
-        F0 = jnp.zeros((F_ROWS, npad), dtype)
+        F0 = jnp.zeros((frows, npad), dtype)
+        for pi, (nm, init) in enumerate(props):
+            F0 = F0.at[F_ROWS + pi].set(jnp.full((npad,), init, dtype))
+            if st_.aux is not None and nm in st_.aux:
+                F0 = F0.at[F_ROWS + pi, :n].set(st_.aux[nm].astype(dtype))
         F0 = F0.at[_F_POS:_F_POS + 3].set(
             jnp.zeros((3, npad), dtype).at[:, :n].set(st_.pos.T.astype(dtype)))
         F0 = F0.at[_F_VEL:_F_VEL + 3].set(
@@ -1369,14 +1398,14 @@ def march_blockwise(
             x0i = jnp.asarray(x0_cells, jnp.int32)
             eligible = eligible & (gx0 >= x0i) & (gx0 < x0i + slab_w_cells)
         skey = jnp.where(eligible, ckey * 8 + octant, jnp.int32(2 ** 30))
-        ops = ([skey, sid] + [F0[i] for i in range(F_ROWS)]
+        ops = ([skey, sid] + [F0[i] for i in range(frows)]
                + [flags0, ptrr])
         out0 = jax.lax.sort(ops, dimension=0, is_stable=True, num_keys=1)
         sid_s = out0[1]
-        F = jnp.stack(out0[2:2 + F_ROWS])
+        F = jnp.stack(out0[2:2 + frows])
         I = jnp.zeros((I_ROWS, npad), jnp.int32)
-        I = I.at[_I_FLAGS].set(out0[2 + F_ROWS])
-        I = I.at[_I_PTR].set(out0[3 + F_ROWS])
+        I = I.at[_I_FLAGS].set(out0[2 + frows])
+        I = I.at[_I_PTR].set(out0[3 + frows])
         vel0_sT = F[_F_VEL:_F_VEL + 3]  # segment-start velocities
     H = record_hits
     hp = _pad_to(H, 8) if H else 8
@@ -1392,7 +1421,8 @@ def march_blockwise(
                           voxel_mode=voxel_mode,
                           record_cells=record_cells and H > 0, pages=pages,
                           resident=resident, programs_used=programs_used,
-                          slab_width=slab_w_cells)
+                          slab_width=slab_w_cells,
+                          prop_names=tuple(nm for nm, _ in props))
     grid = (npad // w,)
     state_spec = lambda rows: pl.BlockSpec((rows, w), lambda t, s: (0, t),
                                            memory_space=pltpu.VMEM)
@@ -1406,7 +1436,7 @@ def march_blockwise(
                 num_scalar_prefetch=1,
                 grid=grid,
                 in_specs=[
-                    state_spec(F_ROWS),
+                    state_spec(frows),
                     state_spec(I_ROWS),
                     state_spec(rrows),
                 ] + ([state_spec(Dpad)] if use_tape else []) + [
@@ -1414,7 +1444,7 @@ def march_blockwise(
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
-                out_specs=[state_spec(F_ROWS), state_spec(I_ROWS),
+                out_specs=[state_spec(frows), state_spec(I_ROWS),
                            state_spec(rrows),
                            pl.BlockSpec((1, czp, cxyp), lambda t, s: (t, 0, 0),
                                         memory_space=pltpu.VMEM)],
@@ -1444,7 +1474,7 @@ def march_blockwise(
                 ]),
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((F_ROWS, npad), dtype),
+                jax.ShapeDtypeStruct((frows, npad), dtype),
                 jax.ShapeDtypeStruct((I_ROWS, npad), jnp.int32),
                 jax.ShapeDtypeStruct((rrows, npad), jnp.int32),
                 jax.ShapeDtypeStruct((npad // w, czp, cxyp), jnp.int32),
@@ -1478,14 +1508,14 @@ def march_blockwise(
             key_f = jnp.where(alive_f > 0,
                               ((_STALL_MAX - stall_f) << 24) | page_f,
                               jnp.int32(2 ** 30))
-        ops = ([key_f, sid_s] + [F2[i] for i in range(F_ROWS)]
+        ops = ([key_f, sid_s] + [F2[i] for i in range(frows)]
                + [I2[i] for i in range(5)] + [R2[i] for i in range(rrows)])
         out = jax.lax.sort(ops, dimension=0, is_stable=False, num_keys=1)
         sid_s = out[1]
-        F2 = jnp.stack(out[2:2 + F_ROWS])
+        F2 = jnp.stack(out[2:2 + frows])
         I2 = jnp.zeros((I_ROWS, npad), jnp.int32).at[:5].set(
-            jnp.stack(out[2 + F_ROWS:7 + F_ROWS]))
-        R2 = jnp.stack(out[7 + F_ROWS:7 + F_ROWS + rrows])
+            jnp.stack(out[2 + frows:7 + frows]))
+        R2 = jnp.stack(out[7 + frows:7 + frows + rrows])
         if use_tape:
             tape_s = tapeT0[:, sid_s]
         F2, I2, R2, T2 = run_kernel(F2, I2, R2, tape_s)
@@ -1500,18 +1530,18 @@ def march_blockwise(
     if unsorted:
         # split-program mode: stay in kernel order (the co-sort below is a
         # compile-service hog and mean losses / table grads don't need it)
-        Fo = [F2[i] for i in range(F_ROWS)]
+        Fo = [F2[i] for i in range(frows)]
         flags, ptr, count = I2[_I_FLAGS], I2[_I_PTR], I2[_I_COUNT]
         recs = [R2[i] for i in range(rrows)]
     else:
         # --- final unsort (one multi-operand co-sort keyed by slot id) ---
-        ops = [sid_s] + [F2[i] for i in range(F_ROWS)] + [
+        ops = [sid_s] + [F2[i] for i in range(frows)] + [
             I2[_I_FLAGS], I2[_I_PTR], I2[_I_COUNT]] + [R2[i]
                                                        for i in range(rrows)]
         out = jax.lax.sort(ops, dimension=0, is_stable=False, num_keys=1)
-        Fo = out[1:1 + F_ROWS]
-        flags, ptr, count = out[1 + F_ROWS:4 + F_ROWS]
-        recs = out[4 + F_ROWS:]
+        Fo = out[1:1 + frows]
+        flags, ptr, count = out[1 + frows:4 + frows]
+        recs = out[4 + frows:]
 
     pos = jnp.stack(Fo[_F_POS:_F_POS + 3], axis=-1)[:n]
     vel = jnp.stack(Fo[_F_VEL:_F_VEL + 3], axis=-1)[:n]
@@ -1555,12 +1585,14 @@ def march_blockwise(
     else:
         trav = jnp.zeros((spec.num_chunks,), bool)
 
+    aux = ({nm: Fo[F_ROWS + pi][:n] for pi, (nm, _) in enumerate(props)}
+           if props else None)
     state = _State(
         pos=pos, vel=vel, color=color, energy=energy, step=step, life=life,
         bounces=bounces, alive=alive, cmin=cmin, cmax=cmax, cres=cres,
         ptr=ptr[:n], traversed=trav,
         it=(resume_state.it if resume_state is not None
-            else jnp.zeros((), jnp.int32)), hits=hits)
+            else jnp.zeros((), jnp.int32)), hits=hits, aux=aux)
 
     if cleanup:
         # finish any ray the static caps under-provisioned for (usually a

@@ -225,11 +225,32 @@ def make_diff_renderer(
             # TPU forward — bit-exact vs the while-march incl. the hit tape.
             from python_raytracer_tpu.ops.blockmarch import march_blockwise
 
-            res = march_blockwise(
-                settings, spec, arr, rays, key=key, background=background,
-                record_hits=max_hits, programs_used=programs_used,
-                **vkw, **(block_kw or {}),
-            )
+            if voxel_grid:
+                # Per-voxel albedo on ANY kernel flavor (byte planes /
+                # resident included — VERDICT r4 item 7): albedo offsets
+                # shift only the COLOR chain, never trajectories (life,
+                # energy->termination, IOR flips and bounce weights are
+                # albedo-free — ops/programs.py pbr), so the kernel marches
+                # without the albedo blocks, records hit cells in the tape,
+                # and the replay reconstructs the exact albedo-shifted
+                # color/energy from the tape (the bit-identity _replay
+                # guarantees). Rays overflowing max_hits get truncated
+                # colors — same caveat as the replay backward.
+                res = march_blockwise(
+                    settings, spec, arr, rays, key=key, background=background,
+                    record_hits=max_hits, programs_used=programs_used,
+                    record_cells=True, **(block_kw or {}),
+                )
+                color, energy = _replay(
+                    table, settings, res.hits, rays.vel, background,
+                    programs_used, arrays.program, voxel_albedo=voxg)
+                res = res._replace(color=color, energy=energy)
+            else:
+                res = march_blockwise(
+                    settings, spec, arr, rays, key=key, background=background,
+                    record_hits=max_hits, programs_used=programs_used,
+                    **(block_kw or {}),
+                )
         elif forward == "ladder":
             from python_raytracer_tpu.ops.compact import march_ladder
 

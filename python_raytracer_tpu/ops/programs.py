@@ -82,6 +82,7 @@ class HitRayRows:
     vel: tuple  # (x, y, z) rows
     bounces: jnp.ndarray
     step: jnp.ndarray
+    aux: Optional[Dict[str, jnp.ndarray]] = None  # registered ray props, [W]
 
 
 @dataclasses.dataclass
@@ -261,7 +262,9 @@ def get_rows_program(pid: int) -> Callable:
 
 
 def _rows_field(ray: HitRayRows, key: str):
-    return getattr(ray, key)
+    if key in _BUILTIN_RAY_FIELDS:
+        return getattr(ray, key)
+    return ray.aux[key]
 
 
 def dispatch_rows(programs_used, pid_row, ray: HitRayRows, mat: MatRows,

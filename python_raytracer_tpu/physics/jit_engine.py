@@ -67,9 +67,14 @@ class PhysicsBatch:
     dtype: object = jnp.float64
 
 
-def build_batch(scene, dtype=jnp.float64) -> PhysicsBatch:
+def build_batch(scene, dtype=None) -> PhysicsBatch:
     """Host-side prep: dense prop grids (padded for window slicing), mover
-    list and static settings. Rebuild on sprite/rotation/frame changes."""
+    list and static settings. Rebuild on sprite/rotation/frame changes.
+    Default dtype: f64 when x64 is enabled (the bit-exact oracle contract),
+    else f32 (TPU — trajectories are then float32, statistically the
+    reference's behavior)."""
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     st = scene.settings
     objs = list(scene.objects.values())
     sizes = tuple(tuple(o.size) for o in objs)

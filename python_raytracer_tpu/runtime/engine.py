@@ -61,10 +61,20 @@ class Engine:
                  key: Optional[jax.Array] = None, pipeline: Optional[bool] = None,
                  compact: bool = False, metrics: Optional[MetricLog] = None,
                  metrics_every: int = 0, block: bool = False,
-                 block_kw: Optional[dict] = None):
+                 block_kw: Optional[dict] = None, jit_physics: bool = False):
         self.scene = scene
         self.settings: Settings = scene.settings
         st = self.settings
+        # jit_physics: run every mover's physics tick as ONE jitted device
+        # dispatch (physics/jit_engine.py) instead of the host per-object
+        # loop (SURVEY.md §7 stage 7). Opt-in; the host engine remains the
+        # bit-exact oracle. Custom object functions run before the batched
+        # step instead of interleaved per object — scenes whose functions
+        # read post-physics state of earlier objects should keep the host
+        # path.
+        self.jit_physics = jit_physics
+        self._phys_batch = None
+        self._phys_fn = None
         # Observability (SURVEY.md §5.1/5.5, replacing the reference's FPS
         # HUD init.py:256-259): per-phase wall times every frame
         # (self.last_phase_ms), march stats + a JSON-lines metric record
@@ -314,8 +324,17 @@ class Engine:
         # (init.py:469-470)
         t0 = _time.perf_counter()
         with trace_scope("engine/objects"):
-            for obj in list(scene.objects.values()):
-                obj.update(self.cam_pos, self.ticks_ms)
+            if self.jit_physics:
+                for obj in list(scene.objects.values()):
+                    obj.update(self.cam_pos, self.ticks_ms,
+                               skip_physics=True)
+                from python_raytracer_tpu.physics.jit_engine import step_scene
+
+                self._phys_batch, self._phys_fn = step_scene(
+                    scene, self._phys_batch, self._phys_fn)
+            else:
+                for obj in list(scene.objects.values()):
+                    obj.update(self.cam_pos, self.ticks_ms)
         phase_t["objects"] = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()

@@ -108,7 +108,11 @@ class Object:
 
     # --- per-frame update (reference data.py:564-587) ---
 
-    def update(self, pos_cam, ticks_ms: float = 0.0):
+    def update(self, pos_cam, ticks_ms: float = 0.0,
+               skip_physics: bool = False):
+        """``skip_physics``: visibility/anim/function only — the caller runs
+        physics for ALL movers in one jitted dispatch afterwards
+        (runtime/engine.py jit_physics; physics/jit_engine.py)."""
         settings = self.scene.settings
         dist = math.dist(self.pos, pos_cam)
 
@@ -125,7 +129,7 @@ class Object:
                 self.redraw = True
                 self.set_weight()
 
-            if self.physics:
+            if self.physics and not skip_physics:
                 from python_raytracer_tpu.physics.engine import update_physics
 
                 update_physics(self, self.scene)

@@ -29,7 +29,12 @@ GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden",
 
 
 @pytest.mark.skipif(not os.path.exists(GOLDEN), reason="golden not generated")
-def test_motion_physics_culling_frames_exact():
+@pytest.mark.parametrize("jit_physics", [False, True],
+                         ids=["host-physics", "jit-physics"])
+def test_motion_physics_culling_frames_exact(jit_physics):
+    """jit_physics=True runs every mover's tick as one jitted dispatch
+    (physics/jit_engine.py wired into the Engine, VERDICT r4 item 5) — the
+    window golden must stay bit-exact either way."""
     g = np.load(GOLDEN)
     ref_frames = g["frames"]
     ref_updates = set(int(i) for i in g["updates"])
@@ -39,7 +44,8 @@ def test_motion_physics_culling_frames_exact():
     st = default_settings().replace(dof=0.0, lod_random=0.0)
     scene = build_default_scene(st)
     zero_roughness(scene)
-    engine = Engine(scene, dtype=jnp.float64, pipeline=False)
+    engine = Engine(scene, dtype=jnp.float64, pipeline=False,
+                    jit_physics=jit_physics)
 
     updates = set()
     last_timer = engine.timer
