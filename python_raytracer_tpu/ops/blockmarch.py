@@ -234,8 +234,25 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                  resident: bool = False,
                  programs_used: Tuple[int, ...] = (M.PROGRAM_PBR,),
                  slab_width: int = 0,
-                 prop_names: Tuple[str, ...] = ()):
+                 prop_names: Tuple[str, ...] = (),
+                 flat: bool = False, flat_coarse: Optional[bool] = None):
     """Build the kernel body (all settings/geometry static).
+
+    ``flat``: straight-line trip bodies — the coarse lookup, cell fetch,
+    shade chain and hit-record write run UNCONDITIONALLY every trip instead
+    of behind ``lax.cond``/``pl.when`` gates. Rationale (round-5 measured):
+    on the current compile service a trip costs ~3.5 us nearly independent
+    of lane width (256-lane group trips cost as much as 2048-lane tile
+    trips), i.e. per-trip cost is dominated by scalar-sync overhead (the
+    ``jnp.any`` reductions + branches), not vector work — the gates cost
+    more than the MXU work they save. Identical results: every gated body
+    is already mask-correct when no lane needs it (zeros/no-op writes).
+    The per-hit RNG draw stays gated (threefry is real vector work).
+    ``flat_coarse`` (default = ``flat``): whether the COARSE lookup also
+    runs unconditionally — it is the one genuinely expensive gated body
+    (the [cxyp, w] one-hot build is ~O(chunk-columns) row ops; round-5
+    ablation: removing it saves ~1.8 us/trip), so keeping its gate while
+    flattening everything else can win when switches are rare per trip.
 
     ``pages`` > 1: each group holds P resident chunk blocks instead of one
     (bufs [groups, P, rows, 128]); the per-episode vote loads into slot
@@ -274,6 +291,8 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
     """
     import os as _os
     _abl = set((_os.environ.get("BM_ABL") or "").split(","))
+    if flat_coarse is None:
+        flat_coarse = flat
     cs = float(settings.chunk_size)
     csi = settings.chunk_size
     CX, CY, CZ = spec.chunk_shape
@@ -530,6 +549,11 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                     cw = (picked[crow, :].astype(jnp.int32)
                           | (picked[crow + 1, :].astype(jnp.int32) << 8))
                     res_c, page_c = cw & 7, cw >> 3
+                elif flat_coarse:
+                    # unconditional: switch-masked consumers make stale
+                    # lanes harmless; dropping the any()+branch saves the
+                    # scalar sync that dominates per-trip cost (see ``flat``)
+                    res_c, page_c, sx, sy, sz = do_coarse(0)
                 else:
                     res_c, page_c, sx, sy, sz = jax.lax.cond(
                         any_switch, do_coarse,
@@ -598,8 +622,7 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                     for g in range(groups):
                         sl = slice(g * 256, (g + 1) * 256)
 
-                        @pl.when(jnp.any(need_word[sl]))
-                        def _(g=g, sl=sl):
+                        def _cell_fetch(g=g, sl=sl):
                             # resident: read the served page straight out of
                             # the VMEM pool. The page index is extracted
                             # HERE, inside this region, from the loaded
@@ -640,6 +663,15 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                                         picked[2 + ch, sl] = _sublane_pick(
                                             rows_T, lo[sl] + 64 + 32 * ch,
                                             brows, 256)
+
+                        if flat:
+                            # unconditional fetch (see ``flat``): masked
+                            # consumers make garbage picks harmless and the
+                            # per-group any()+region gate costs more than
+                            # the matmuls it skips on this compile service
+                            _cell_fetch()
+                        else:
+                            pl.when(jnp.any(need_word[sl]))(_cell_fetch)
                 elif "nocell" not in _abl:
                     # multi-page: one gated matmul per (group, resident
                     # slot), one-hot masked to the lanes whose chunk lives
@@ -859,13 +891,21 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                             term.astype(jnp.int32), fb,
                             need_draw.astype(jnp.int32)) + nprop
 
-                any_hit = jnp.any(hit)
-                outs = jax.lax.cond(
-                    any_hit, shade,
-                    lambda _: (color_r, color_g, color_b, energy, life,
-                               vx, vy, vz, bounces, zero_i, zero_i, zero_i)
-                    + prop_rows,
-                    0)
+                if flat:
+                    # unconditional shading: every expression is hit-masked
+                    # already, and the any()+branch costs more than the
+                    # shade chain it skips (see ``flat``)
+                    any_hit = jnp.array(True)
+                    outs = shade(0)
+                else:
+                    any_hit = jnp.any(hit)
+                    outs = jax.lax.cond(
+                        any_hit, shade,
+                        lambda _: (color_r, color_g, color_b, energy, life,
+                                   vx, vy, vz, bounces, zero_i, zero_i,
+                                   zero_i)
+                        + prop_rows,
+                        0)
                 (color_r, color_g, color_b, energy, life, vx, vy, vz,
                  bounces, term_i, fb, need_draw_i) = outs[:12]
                 prop_rows = outs[12:]
@@ -881,8 +921,7 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                 # hit record (packed; u regenerated outside the kernel)
                 count = I_out[_I_COUNT]
                 if H:
-                    @pl.when(any_hit)
-                    def _():
+                    def _record():
                         rec = (vid | (fb << _REC_FLIP_SHIFT)
                                | (need_draw_i << _REC_ROUGH_SHIFT)
                                | (ptr_pre << _REC_PTR_SHIFT))
@@ -903,6 +942,11 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
                             cellf = (gx * SY + gy) * SZ + gz
                             R_out[hp:hp + H] = jnp.where(
                                 sel, cellf[None, :], R_out[hp:hp + H])
+
+                    if flat:
+                        _record()  # sel is all-False with no hit: no-op RMW
+                    else:
+                        pl.when(any_hit)(_record)
                 count = count + hit.astype(jnp.int32)
 
                 # 5. advance (ops/march.py step 5, reference init.py:113-116)
@@ -1037,6 +1081,472 @@ def _make_kernel(settings: Settings, spec: GridSpec, *, w: int,
     return kernel
 
 
+def _make_group_kernel(settings: Settings, spec: GridSpec, *, w: int,
+                       record_hits: int, ep_cap: int, inner_cap: int,
+                       czp: int, cxyp: int, kp: int, unroll: int = 1,
+                       record_traversed: bool = False,
+                       byte_planes: bool = False,
+                       record_cells: bool = False,
+                       programs_used: Tuple[int, ...] = (M.PROGRAM_PBR,),
+                       prop_names: Tuple[str, ...] = ()):
+    """Per-group independent march (``group_loops=True``): each 256-lane
+    group runs its OWN episode+inner while loops over the resident VMEM
+    pool, so a tile stops paying trips for a group the moment that group's
+    lanes die — the in-kernel answer to the measured 8.5x trip imbalance
+    (ROADMAP roofline lever 4; a tile-wide trip costs ~8x a group trip and
+    the tail of long rays lives in few groups after the coherence sort).
+    Semantics are identical to ``_make_kernel(resident=True)``: same vote /
+    serve-window rotation per group, same freeze rule (PRNG draws are keyed
+    by per-ray progress, so group-local execution order cannot change
+    results), same cleanup contract for unservable pages. Resident pool
+    only, pages=1, key-RNG (no tape), no slab; callers fall back to the
+    episode kernel otherwise. Marches the reference hot loop
+    ``init.py:66-116`` exactly like the episode kernel — bit-compared in
+    tests/test_blockmarch.py."""
+    cs = float(settings.chunk_size)
+    csi = settings.chunk_size
+    CX, CY, CZ = spec.chunk_shape
+    ox, oy, oz = (float(v) for v in spec.origin)
+    groups = w // 256
+    falloff_e = 1.0 + float(settings.falloff)
+    max_light = float(settings.max_light)
+    max_b = float(settings.max_bounces) + 1.0
+    lod_bounces = float(settings.lod_bounces)
+    chunk_radius = float(settings.chunk_radius)
+    H = record_hits
+    hp = _pad_to(H, 8) if H else 8
+    SX, SY, SZ = spec.shape
+    nprops = len(prop_names)
+    G = 256
+
+    def kernel(scal_ref, *args):
+        F_in, I_in, R_in, blocks_hbm, coarse_ref, mat_ref = args[0:6]
+        F_out, I_out, R_out, T_out = args[6:10]
+        pool_scr, pool_sem, picked = args[10:13]
+        F_out[:] = F_in[:]
+        I_out[:] = I_in[:]
+        if H:
+            R_out[:] = R_in[:]
+        T_out[0] = jnp.zeros((czp, cxyp), jnp.int32)
+        k1 = scal_ref[0]
+        k2 = scal_ref[1]
+        npages = blocks_hbm.shape[0]
+        # stage the whole occupied-chunk pool once (resident contract)
+        pltpu.make_async_copy(blocks_hbm, pool_scr, pool_sem).start()
+        pltpu.make_async_copy(blocks_hbm, pool_scr, pool_sem).wait()
+
+        def one_iteration(sl, loaded):
+            px = F_out[_F_POS, sl]
+            py = F_out[_F_POS + 1, sl]
+            pz = F_out[_F_POS + 2, sl]
+            vx = F_out[_F_VEL, sl]
+            vy = F_out[_F_VEL + 1, sl]
+            vz = F_out[_F_VEL + 2, sl]
+            flags = I_out[_I_FLAGS, sl]
+            alive = (flags & _FLAG_ALIVE) > 0
+            has_box = (flags & _FLAG_HASBOX) > 0
+            cres = (flags >> _CRES_SHIFT) & 7
+            page = flags >> _PAGE_SHIFT
+            cmx = F_out[_F_CMIN, sl]
+            cmy = F_out[_F_CMIN + 1, sl]
+            cmz = F_out[_F_CMIN + 2, sl]
+            active = alive & ((cres == 0) | (page == loaded[0]))
+
+            # 1. active-chunk hysteresis (reference init.py:67-73)
+            in_box = has_box & (
+                (px >= cmx) & (px <= cmx + cs)
+                & (py >= cmy) & (py <= cmy + cs)
+                & (pz >= cmz) & (pz <= cmz + cs))
+            switch = active & ~in_box
+            any_switch = jnp.any(switch)
+
+            def do_coarse(_):
+                sx = jnp.floor(px / cs) * cs
+                sy = jnp.floor(py / cs) * cs
+                sz = jnp.floor(pz / cs) * cs
+                ccx = ((sx - ox) / cs).astype(jnp.int32)
+                ccy = ((sy - oy) / cs).astype(jnp.int32)
+                ccz = ((sz - oz) / cs).astype(jnp.int32)
+                in_grid = ((ccx >= 0) & (ccx < CX) & (ccy >= 0)
+                           & (ccy < CY) & (ccz >= 0) & (ccz < CZ))
+                cxy = jnp.where(in_grid, ccx * CY + ccy, -1)
+                czi_ = jnp.where(in_grid, ccz, -1)
+                oh = _onehot_T(cxy, cxyp, G, jnp.bfloat16)
+                lo_T = jnp.dot(coarse_ref[0], oh,
+                               preferred_element_type=jnp.float32)
+                hi_T = jnp.dot(coarse_ref[1], oh,
+                               preferred_element_type=jnp.float32)
+                cw = (_sublane_pick(lo_T, czi_, czp, G).astype(jnp.int32)
+                      | (_sublane_pick(hi_T, czi_, czp, G)
+                         .astype(jnp.int32) << 8))
+                return cw & 7, cw >> 3, sx, sy, sz
+
+            res_c, page_c, sx, sy, sz = jax.lax.cond(
+                any_switch, do_coarse,
+                lambda _: (jnp.zeros((G,), jnp.int32),
+                           jnp.zeros((G,), jnp.int32),
+                           px, py, pz), 0)
+
+            if record_traversed:
+                # traversed-chunk feedback (reference init.py:72-73)
+                @pl.when(any_switch)
+                def _():
+                    ccx = (jnp.floor(px / cs) - ox / cs).astype(jnp.int32)
+                    ccy = (jnp.floor(py / cs) - oy / cs).astype(jnp.int32)
+                    ccz = (jnp.floor(pz / cs) - oz / cs).astype(jnp.int32)
+                    in_g = ((ccx >= 0) & (ccx < CX) & (ccy >= 0)
+                            & (ccy < CY) & (ccz >= 0) & (ccz < CZ))
+                    m = switch & in_g
+                    cxy_t = jnp.where(m, ccx * CY + ccy, -1)
+                    cz_t = jnp.where(m, ccz, -1)
+                    oh_cz = _onehot_T(cz_t, czp, G)
+                    oh_cxy = _onehot_T(cxy_t, cxyp, G)
+                    acc = jax.lax.dot_general(
+                        oh_cz, oh_cxy, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    T_out[0] = T_out[0] | (acc > 0).astype(jnp.int32)
+
+            cmx = jnp.where(switch, sx, cmx)
+            cmy = jnp.where(switch, sy, cmy)
+            cmz = jnp.where(switch, sz, cmz)
+            has_box = has_box | switch
+            cres = jnp.where(switch, res_c, cres)
+            page = jnp.where(switch, page_c, page)
+            # lanes that switched into an unserved chunk freeze NOW
+            active = active & ((cres == 0) | (page == loaded[0]))
+
+            # 2. cell-word fetch from the resident VMEM pool
+            fx = jnp.floor(px)
+            fy = jnp.floor(py)
+            fz = jnp.floor(pz)
+            lx = (fx - cmx).astype(jnp.int32)
+            ly = (fy - cmy).astype(jnp.int32)
+            lz = (fz - cmz).astype(jnp.int32)
+            in_content = ((lx <= csi - 1) & (ly <= csi - 1)
+                          & (lz <= csi - 1))
+            cell = jnp.clip((lx * csi + ly) * csi + lz, 0, 4095)
+            lo = cell & 31
+            hi = cell >> 5
+            need_word = active & (cres > 0) & in_content
+
+            def fetch(_):
+                # page extracted INSIDE this region from the carried vector
+                # via a static-index lane extract (the round-4 proven
+                # pattern: a Python-carried scalar from the episode body
+                # miscompiled on hardware)
+                sg = jnp.clip(loaded[0][0], 0, npages - 1)
+                if byte_planes:
+                    oh = _onehot_T(hi, 128, G, jnp.bfloat16)
+                    bs = []
+                    for b in range(4):
+                        rows_T = jnp.dot(pool_scr[sg, b], oh,
+                                         preferred_element_type=jnp.float32)
+                        bs.append(_sublane_pick(rows_T, lo, 32, G)
+                                  .astype(jnp.int32))
+                    return bs[0] | (bs[1] << 8) | (bs[2] << 16) | (bs[3] << 24)
+                oh = _onehot_T(hi, 128, G)
+                rows_T = jnp.dot(pool_scr[sg], oh,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+                lo16 = _sublane_pick(rows_T, lo, 64, G).astype(jnp.int32)
+                hi16 = _sublane_pick(rows_T, lo + 32, 64, G).astype(jnp.int32)
+                return lo16 | (hi16 << 16)
+
+            word = jax.lax.cond(jnp.any(need_word), fetch,
+                                lambda _: jnp.zeros((G,), jnp.int32), 0)
+            has_chunk = cres > 0
+            word = jnp.where(active & has_chunk & in_content, word, 0)
+            vid = word & C.WORD_ID_MASK
+            hit = vid > 0
+
+            # 3+4. material program + IOR reflection (reference
+            # init.py:81-111), gated on any lane hitting this trip
+            color_r = F_out[_F_COLOR, sl]
+            color_g = F_out[_F_COLOR + 1, sl]
+            color_b = F_out[_F_COLOR + 2, sl]
+            energy = F_out[_F_ENERGY, sl]
+            step = F_out[_F_STEP, sl]
+            life = F_out[_F_LIFE, sl]
+            bounces = F_out[_F_BOUNCES, sl]
+            prop_rows = tuple(F_out[F_ROWS + i, sl] for i in range(nprops))
+            ptr = I_out[_I_PTR, sl]
+            zero_i = jnp.zeros((G,), jnp.int32)
+
+            def shade(_):
+                mrows = jnp.dot(mat_ref[:], _onehot_T(vid, kp, G),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+                alb_r, alb_g, alb_b = mrows[0], mrows[1], mrows[2]
+                rough, absorb, ior, menergy = (mrows[3], mrows[4],
+                                               mrows[5], mrows[6])
+                has_rough = ((word >> C.WORD_ROUGH_SHIFT) & 1) > 0
+                need_draw = hit & has_rough
+
+                def draws(_):
+                    n1, n2 = R.fold_in_pair(k1, k2, ptr)
+                    return R.uniform3_parts(n1, n2)
+
+                half = jnp.full((G,), 0.5, jnp.float32)
+                u0, u1, u2 = jax.lax.cond(
+                    jnp.any(need_draw), draws,
+                    lambda _: (half, half, half), 0)
+                u0 = jnp.where(need_draw, u0, 0.5)
+                u1 = jnp.where(need_draw, u1, 0.5)
+                u2 = jnp.where(need_draw, u2, 0.5)
+
+                aux = ({nm: prop_rows[i]
+                        for i, nm in enumerate(prop_names)} or None)
+                if tuple(programs_used) == (M.PROGRAM_PBR,):
+                    # inline builtin PBR (reference lib.py:448-460)
+                    absb = jnp.minimum(
+                        1.0, absorb / (1.0 + bounces) ** falloff_e)
+                    cr = jnp.where(hit,
+                                   color_r * (1 - absb) + alb_r * absb,
+                                   color_r)
+                    cg = jnp.where(hit,
+                                   color_g * (1 - absb) + alb_g * absb,
+                                   color_g)
+                    cb = jnp.where(hit,
+                                   color_b * (1 - absb) + alb_b * absb,
+                                   color_b)
+                    en = jnp.where(hit,
+                                   energy * (1 - absb) + menergy * absb,
+                                   energy)
+                    bounce = absorb
+                    lf = jnp.where(hit, life * (1.0 - rough * absb), life)
+                    nvx = jnp.where(hit, vx + (-1.0 + u0 * 2.0) * rough, vx)
+                    nvy = jnp.where(hit, vy + (-1.0 + u1 * 2.0) * rough, vy)
+                    nvz = jnp.where(hit, vz + (-1.0 + u2 * 2.0) * rough, vz)
+                    nprop = prop_rows  # builtin PBR touches no props
+                else:
+                    pid_row = mrows[7].astype(jnp.int32)
+                    rayv = P.HitRayRows(
+                        color=(color_r, color_g, color_b), energy=energy,
+                        life=life, vel=(vx, vy, vz), bounces=bounces,
+                        step=step, aux=aux)
+                    matv = P.MatRows(
+                        albedo=(alb_r, alb_g, alb_b), roughness=rough,
+                        absorption=absorb, ior=ior, energy=menergy)
+                    upd, bounce = P.dispatch_rows(
+                        tuple(programs_used), pid_row, rayv, matv,
+                        settings, (u0, u1, u2))
+                    ucr, ucg, ucb = upd.get("color", rayv.color)
+                    cr = jnp.where(hit, ucr, color_r)
+                    cg = jnp.where(hit, ucg, color_g)
+                    cb = jnp.where(hit, ucb, color_b)
+                    en = jnp.where(hit, upd.get("energy", energy), energy)
+                    lf = jnp.where(hit, upd.get("life", life), life)
+                    uvx, uvy, uvz = upd.get("vel", rayv.vel)
+                    nvx = jnp.where(hit, uvx, vx)
+                    nvy = jnp.where(hit, uvy, vy)
+                    nvz = jnp.where(hit, uvz, vz)
+                    nprop = tuple(
+                        jnp.where(hit, upd.get(nm, prop_rows[i]),
+                                  prop_rows[i])
+                        for i, nm in enumerate(prop_names))
+                bo = jnp.where(hit, bounces + bounce, bounces)
+                cresf = cres.astype(jnp.float32)
+                lf = jnp.where(hit, lf / (cresf + bounce * lod_bounces), lf)
+                ref = jnp.maximum(jnp.maximum(jnp.abs(nvx), jnp.abs(nvy)),
+                                  jnp.abs(nvz))
+                refs = jnp.where(ref != 0, ref, 1.0)
+                nvx = jnp.where(hit & (ref != 0), nvx / refs, nvx)
+                nvy = jnp.where(hit & (ref != 0), nvy / refs, nvy)
+                nvz = jnp.where(hit & (ref != 0), nvz / refs, nvz)
+
+                term = hit & ((step >= lf) | (en >= max_light)
+                              | (bo >= max_b))
+                iorcls = (word >> C.WORD_IORCLS_SHIFT) & C.WORD_IORCLS_MASK
+                do_ior = hit & ~term & (iorcls != 0)
+                direction = (ior - 0.5) * 2.0
+                flips = []
+                for ax, v_ax in enumerate((nvx, nvy, nvz)):
+                    bit = C.WORD_FACE_SHIFT + ax * 2
+                    toward = v_ax < direction
+                    f = jnp.where(toward, (word >> bit) & 1,
+                                  (word >> (bit + 1)) & 1)
+                    flips.append(f > 0)
+                nvx = jnp.where(do_ior & flips[0], nvx - nvx * ior * 2.0,
+                                nvx)
+                nvy = jnp.where(do_ior & flips[1], nvy - nvy * ior * 2.0,
+                                nvy)
+                nvz = jnp.where(do_ior & flips[2], nvz - nvz * ior * 2.0,
+                                nvz)
+                fb = jnp.where(do_ior, (
+                    flips[0].astype(jnp.int32)
+                    | (flips[1].astype(jnp.int32) << 1)
+                    | (flips[2].astype(jnp.int32) << 2)), 0)
+                return (cr, cg, cb, en, lf, nvx, nvy, nvz, bo,
+                        term.astype(jnp.int32), fb,
+                        need_draw.astype(jnp.int32)) + nprop
+
+            any_hit = jnp.any(hit)
+            outs = jax.lax.cond(
+                any_hit, shade,
+                lambda _: (color_r, color_g, color_b, energy, life,
+                           vx, vy, vz, bounces, zero_i, zero_i, zero_i)
+                + prop_rows,
+                0)
+            (color_r, color_g, color_b, energy, life, vx, vy, vz,
+             bounces, term_i, fb, need_draw_i) = outs[:12]
+            prop_rows = outs[12:]
+            term = term_i > 0
+            ptr_pre = ptr
+            ptr = ptr + active.astype(jnp.int32)
+
+            # hit record (packed; u regenerated outside the kernel)
+            count = I_out[_I_COUNT, sl]
+            if H:
+                @pl.when(any_hit)
+                def _():
+                    rec = (vid | (fb << _REC_FLIP_SHIFT)
+                           | (need_draw_i << _REC_ROUGH_SHIFT)
+                           | (ptr_pre << _REC_PTR_SHIFT))
+                    rows = jax.lax.broadcasted_iota(jnp.int32, (H, G), 0)
+                    sel = (rows == count[None, :]) & (
+                        hit & (count < H))[None, :]
+                    R_out[:H, sl] = jnp.where(sel, rec[None, :],
+                                              R_out[:H, sl])
+                    if record_cells:
+                        gx = jnp.clip((fx - ox).astype(jnp.int32),
+                                      0, SX - 1)
+                        gy = jnp.clip((fy - oy).astype(jnp.int32),
+                                      0, SY - 1)
+                        gz = jnp.clip((fz - oz).astype(jnp.int32),
+                                      0, SZ - 1)
+                        cellf = (gx * SY + gy) * SZ + gz
+                        R_out[hp:hp + H, sl] = jnp.where(
+                            sel, cellf[None, :], R_out[hp:hp + H, sl])
+            count = count + hit.astype(jnp.int32)
+
+            # 5. advance (reference init.py:113-116)
+            adv = active & ~term
+            skip_d = (word >> C.WORD_SKIP_SHIFT) & C.WORD_SKIP_MASK
+            cres_safe = jnp.maximum(cres, 1)
+            s_free = jnp.maximum(1, (skip_d - 1) // cres_safe)
+            csf = cres_safe.astype(jnp.float32)
+            ks = []
+            for v_ax, p_ax, cm_ax in ((vx, px, cmx), (vy, py, cmy),
+                                      (vz, pz, cmz)):
+                denom = v_ax * csf
+                bound = jnp.where(v_ax > 0, cm_ax + cs, cm_ax)
+                ok = jnp.abs(denom) > 1e-12
+                ks.append(jnp.where(
+                    ok, (bound - p_ax) / jnp.where(ok, denom, 1.0),
+                    jnp.inf))
+            t_min = jnp.minimum(jnp.minimum(ks[0], ks[1]), ks[2])
+            k_exit = jnp.floor(t_min).astype(jnp.int32) + 1
+            n_steps = jnp.maximum(jnp.minimum(s_free, k_exit), 1)
+            pmin = jnp.minimum(jnp.minimum(px, py), pz)
+            void_step = 1.0 + jnp.abs(
+                chunk_radius - jnp.mod(pmin + chunk_radius, cs))
+            step_len = jnp.where(has_chunk,
+                                 (n_steps * cres_safe).astype(jnp.float32),
+                                 void_step)
+            px = jnp.where(adv, px + vx * step_len, px)
+            py = jnp.where(adv, py + vy * step_len, py)
+            pz = jnp.where(adv, pz + vz * step_len, pz)
+            step = jnp.where(adv, step + step_len, step)
+            alive = (active & adv & (step < life)) | (~active & alive)
+
+            # write back (group slice)
+            F_out[_F_POS, sl] = px
+            F_out[_F_POS + 1, sl] = py
+            F_out[_F_POS + 2, sl] = pz
+            F_out[_F_VEL, sl] = vx
+            F_out[_F_VEL + 1, sl] = vy
+            F_out[_F_VEL + 2, sl] = vz
+            F_out[_F_COLOR, sl] = color_r
+            F_out[_F_COLOR + 1, sl] = color_g
+            F_out[_F_COLOR + 2, sl] = color_b
+            F_out[_F_ENERGY, sl] = energy
+            F_out[_F_STEP, sl] = step
+            F_out[_F_LIFE, sl] = life
+            F_out[_F_BOUNCES, sl] = bounces
+            F_out[_F_CMIN, sl] = cmx
+            F_out[_F_CMIN + 1, sl] = cmy
+            F_out[_F_CMIN + 2, sl] = cmz
+            for pi in range(nprops):
+                F_out[F_ROWS + pi, sl] = prop_rows[pi]
+            stall = (I_out[_I_FLAGS, sl] >> _STALL_SHIFT) & _STALL_MAX
+            nflags = (alive.astype(jnp.int32)
+                      | (has_box.astype(jnp.int32) << 1)
+                      | (cres << _CRES_SHIFT)
+                      | (stall << _STALL_SHIFT)
+                      | (page << _PAGE_SHIFT))
+            I_out[_I_FLAGS, sl] = nflags
+            I_out[_I_PTR, sl] = ptr
+            I_out[_I_COUNT, sl] = count
+            # telemetry: per-GROUP trips (sum(row)/256 = total group-trips)
+            I_out[_I_TRIPS, sl] = I_out[_I_TRIPS, sl] + 1
+
+            go = alive & ((cres == 0) | (page == loaded[0]))
+            return jnp.any(go)
+
+        for g in range(groups):
+            sl = slice(g * 256, (g + 1) * 256)
+
+            def ep_cond(c):
+                ep, go, loaded = c
+                return jnp.logical_and(ep < ep_cap, go)
+
+            def ep_body(c, sl=sl):
+                ep, _, loaded = c
+                flags = I_out[_I_FLAGS, sl]
+                alive = (flags & _FLAG_ALIVE) > 0
+                cres = (flags >> _CRES_SHIFT) & 7
+                stall = (flags >> _STALL_SHIFT) & _STALL_MAX
+                page = flags >> _PAGE_SHIFT
+                # vote: the most-starved waiting lane's page is served next
+                # (unservable pages — pool overflow — never win)
+                needing = (alive & (cres > 0) & (page != loaded[0])
+                           & (page < npages))
+                votekey = jnp.where(needing, (stall << 20) | page, -1)
+                vk = jnp.max(votekey)
+                vote = jnp.where(vk >= 0, vk & 0xFFFFF, loaded[0])
+                loaded = (jnp.full((256,), 0, jnp.int32) + vote,)
+
+                def inner_cond(c2):
+                    it, go2 = c2
+                    return jnp.logical_and(it < inner_cap, go2)
+
+                def inner_body(c2, sl=sl, loaded=loaded):
+                    it, _ = c2
+                    for _u in range(unroll):
+                        go2 = one_iteration(sl, loaded)
+                    return it + unroll, go2
+
+                jax.lax.while_loop(inner_cond, inner_body,
+                                   (jnp.zeros((), jnp.int32),
+                                    jnp.array(True)))
+
+                # age lanes still waiting so the vote eventually serves them
+                flags2 = I_out[_I_FLAGS, sl]
+                alive2 = (flags2 & _FLAG_ALIVE) > 0
+                cres2 = (flags2 >> _CRES_SHIFT) & 7
+                page2 = flags2 >> _PAGE_SHIFT
+                stall2 = (flags2 >> _STALL_SHIFT) & _STALL_MAX
+                waiting = alive2 & (cres2 > 0) & (page2 != loaded[0])
+                stall2 = jnp.minimum(stall2 + waiting.astype(jnp.int32),
+                                     _STALL_MAX)
+                I_out[_I_FLAGS, sl] = (
+                    (flags2 & ~(_STALL_MAX << _STALL_SHIFT))
+                    | (stall2 << _STALL_SHIFT))
+                I_out[_I_EPS, sl] = I_out[_I_EPS, sl] + 1
+                ep1 = ep + 1
+                live = jnp.any(alive2 & ((cres2 == 0) | (page2 < npages)))
+                return ep1, live, loaded
+
+            alive0 = jnp.any((I_out[_I_FLAGS, sl] & _FLAG_ALIVE) > 0)
+            jax.lax.while_loop(
+                ep_cond, ep_body,
+                (jnp.zeros((), jnp.int32), alive0,
+                 (jnp.full((256,), -1, jnp.int32),)))
+
+    return kernel
+
+
 def blockmarch_supported(settings: Settings, spec: GridSpec,
                          programs_used=(M.PROGRAM_PBR,), tape=None) -> bool:
     """True when ``march_blockwise`` can serve this configuration (see its
@@ -1086,6 +1596,9 @@ def march_blockwise(
     resident: bool = False,
     resident_cap: int = 0,
     pool_center=None,
+    group_loops: bool = False,
+    flat: bool = False,
+    flat_coarse: Optional[bool] = None,
     slab=None,
     resume_state=None,
     finalize: bool = True,
@@ -1159,6 +1672,15 @@ def march_blockwise(
     if resident and voxel_albedo is not None:
         raise ValueError("resident mode: the 160-row voxel-albedo pool "
                          "exceeds the VMEM budget; use the paged mode")
+    if group_loops:
+        # per-group independent march (_make_group_kernel): resident pool,
+        # key RNG, no slab — the production fast path
+        if not resident or pages != 1:
+            raise ValueError("group_loops runs on the resident pool "
+                             "(resident=True, pages=1)")
+        if use_tape or slab is not None:
+            raise ValueError("group_loops is key-RNG only and has no slab "
+                             "segments; use the episode kernel")
     if slab is not None or resume_state is not None:
         # grid-TP segmented execution (parallel/gridshard.py ring): the
         # kernel marches only the rays whose cell lies in this device's
@@ -1439,16 +1961,27 @@ def march_blockwise(
     Rrec = jnp.zeros((rrows, npad), jnp.int32)
     voxel_mode = voxel_albedo is not None
 
-    kernel = _make_kernel(settings, spec, w=w, record_hits=H, ep_cap=ep_cap,
-                          inner_cap=inner_cap, czp=czp, cxyp=cxyp, kp=kp,
-                          unroll=unroll, record_traversed=record_traversed,
-                          byte_planes=byte_planes, group_coarse=group_coarse,
-                          tape_rows=Dpad if use_tape else 0, tape_len=D,
-                          voxel_mode=voxel_mode,
-                          record_cells=record_cells and H > 0, pages=pages,
-                          resident=resident, programs_used=programs_used,
-                          slab_width=slab_w_cells,
-                          prop_names=tuple(nm for nm, _ in props))
+    if group_loops:
+        kernel = _make_group_kernel(
+            settings, spec, w=w, record_hits=H, ep_cap=ep_cap,
+            inner_cap=inner_cap, czp=czp, cxyp=cxyp, kp=kp, unroll=unroll,
+            record_traversed=record_traversed, byte_planes=byte_planes,
+            record_cells=record_cells and H > 0,
+            programs_used=programs_used,
+            prop_names=tuple(nm for nm, _ in props))
+    else:
+        kernel = _make_kernel(
+            settings, spec, w=w, record_hits=H, ep_cap=ep_cap,
+            inner_cap=inner_cap, czp=czp, cxyp=cxyp, kp=kp,
+            unroll=unroll, record_traversed=record_traversed,
+            byte_planes=byte_planes, group_coarse=group_coarse,
+            tape_rows=Dpad if use_tape else 0, tape_len=D,
+            voxel_mode=voxel_mode,
+            record_cells=record_cells and H > 0, pages=pages,
+            resident=resident, programs_used=programs_used,
+            slab_width=slab_w_cells,
+            prop_names=tuple(nm for nm, _ in props), flat=flat,
+            flat_coarse=flat_coarse)
     grid = (npad // w,)
     state_spec = lambda rows: pl.BlockSpec((rows, w), lambda t, s: (0, t),
                                            memory_space=pltpu.VMEM)
@@ -1549,9 +2082,12 @@ def march_blockwise(
             trav_acc = trav_acc | T2.any(axis=0)
 
     # kernel-cost telemetry (see _I_TRIPS comment in the kernel): total
-    # inner trips / episodes paid across all tiles and supersteps
-    trips_total = jnp.sum(I2[_I_TRIPS]) // w
-    eps_total = jnp.sum(I2[_I_EPS]) // w
+    # inner trips / episodes paid across all tiles and supersteps. In
+    # group_loops mode each 256-lane group counts its OWN trips, so the
+    # divisor is the group width (total group-trips, the cost unit).
+    tdiv = 256 if group_loops else w
+    trips_total = jnp.sum(I2[_I_TRIPS]) // tdiv
+    eps_total = jnp.sum(I2[_I_EPS]) // tdiv
 
     if unsorted:
         # split-program mode: stay in kernel order (the co-sort below is a

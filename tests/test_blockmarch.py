@@ -839,3 +839,74 @@ def test_blockmarch_resident_heat_pool_overflow(scene):
         resident_cap=cap, byte_planes=True,
         inner_cap=4, ep_cap=192, interpret=True)
     _assert_same(ref, out2)
+
+
+def test_blockmarch_group_loops_bitexact(scene):
+    """Per-group independent march (group_loops=True, _make_group_kernel):
+    each 256-lane group runs its own episode/inner loops over the resident
+    pool — the in-kernel fix for the measured 8.5x trip imbalance. Must be
+    bit-exact vs the XLA march incl. the hit tape, and must pay FAR fewer
+    group-trips than tile-trips x groups would."""
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(3)
+    rays = _rays(st, cam_pos, cam_rot, 2048, key)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used, record_hits=16)
+    out, (gtrips, geps) = march_blockwise(
+        st, cs.spec, cs.arrays, rays, key=key, background="sky",
+        programs_used=cs.programs_used, record_hits=16, resident=True,
+        group_loops=True, byte_planes=True, inner_cap=2, ep_cap=384,
+        interpret=True, return_trips=True)
+    _assert_same(ref, out)
+    ref_t, (ttrips, teps) = march_blockwise(
+        st, cs.spec, cs.arrays, rays, key=key, background="sky",
+        programs_used=cs.programs_used, record_hits=16, resident=True,
+        byte_planes=True, inner_cap=2, ep_cap=384,
+        interpret=True, return_trips=True)
+    _assert_same(ref, ref_t)
+    groups = 2048 // 256
+    assert int(gtrips) < int(ttrips) * groups, (int(gtrips), int(ttrips))
+
+
+def test_blockmarch_group_loops_variants(scene):
+    """group_loops across f32 blocks, small caps (cleanup path), traversed
+    feedback and non-aligned n — all bit-exact."""
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(7)
+    rays = _rays(st, cam_pos, cam_rot, 1500, key)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used,
+                record_hits=16, record_traversed=True)
+    for kw in (dict(),  # f32 halves pool
+               dict(byte_planes=True, ep_cap=6, inner_cap=2),  # cleanup
+               dict(byte_planes=True, record_traversed=True)):
+        rt = kw.pop("record_traversed", False)
+        out = march_blockwise(
+            st, cs.spec, cs.arrays, rays, key=key, background="sky",
+            programs_used=cs.programs_used, record_hits=16, resident=True,
+            group_loops=True, interpret=True, record_traversed=rt, **kw)
+        _assert_same(ref, out)
+        if rt:
+            np.testing.assert_array_equal(np.asarray(out.traversed),
+                                          np.asarray(ref.traversed))
+
+
+def test_blockmarch_flat_bitexact(scene):
+    """Straight-line trip bodies (flat=True): coarse/fetch/shade/record run
+    unconditionally — must be bit-exact vs the XLA march incl. the hit tape
+    (every gated body is mask-correct without its gate)."""
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(3)
+    rays = _rays(st, cam_pos, cam_rot, 2048, key)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used, record_hits=16)
+    for kw in (dict(resident=True, byte_planes=True, inner_cap=2,
+                    ep_cap=384),
+               dict(resident=True, inner_cap=4, ep_cap=192),  # f32 halves
+               dict(ep_cap=32, inner_cap=24)):  # paged vote+DMA
+        out = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                              background="sky",
+                              programs_used=cs.programs_used,
+                              record_hits=16, flat=True, interpret=True,
+                              **kw)
+        _assert_same(ref, out)
