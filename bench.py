@@ -384,6 +384,10 @@ def main():
         pages=int(os.environ.get("BENCH_PAGES", "1")),
         resort_life=os.environ.get("BENCH_RESORT_LIFE", "0") == "1",
         resident=os.environ.get("BENCH_RESIDENT", "1") == "1",
+        # round-5 default: straight-line trip bodies — the gates' scalar
+        # syncs cost more than the vector work they skip on the current
+        # compile service (1.7x measured: 103.6 -> 60.3 ms fwd)
+        flat=os.environ.get("BENCH_FLAT", "1") == "1",
     )
     # Split-program mode (default): the march runs as THREE jitted
     # programs — A: coherence sort + Pallas kernel (unsorted outputs),

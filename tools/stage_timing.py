@@ -72,6 +72,7 @@ def main():
         pages=int(os.environ.get("BENCH_PAGES", "1")),
         resort_life=os.environ.get("BENCH_RESORT_LIFE", "0") == "1",
         resident=os.environ.get("BENCH_RESIDENT", "1") == "1",
+        flat=os.environ.get("BENCH_FLAT", "1") == "1",
     )
     max_hits = int(os.environ.get("BENCH_MAX_HITS", "12"))
 

@@ -112,6 +112,28 @@ def main():
     if not all(v == 1.0 for v in checks_r.values()) or cdiff_r > 0.05:
         failures += 1
 
+    # --- flat (straight-line) resident kernel vs XLA march ---
+    t0 = time.time()
+    outf = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
+                           background="sky", programs_used=cs.programs_used,
+                           record_hits=16, resident=True, byte_planes=True,
+                           flat=True, inner_cap=2, ep_cap=384)
+    checks_f = {
+        "step": (np.asarray(ref.step) == np.asarray(outf.step)).mean(),
+        "bounces": (np.asarray(ref.bounces)
+                    == np.asarray(outf.bounces)).mean(),
+        "vid": (np.asarray(ref.hits.vid) == np.asarray(outf.hits.vid)).mean(),
+        "count": (np.asarray(ref.hits.count)
+                  == np.asarray(outf.hits.count)).mean(),
+    }
+    cdiff_f = np.abs(np.asarray(ref.color) - np.asarray(outf.color)).max()
+    print(f"flat resident blockmarch vs XLA march (n={n}): "
+          + " ".join(f"{k}={v:.6f}" for k, v in checks_f.items())
+          + f" color_maxdiff={cdiff_f:.3e} ({time.time()-t0:.1f}s)",
+          flush=True)
+    if not all(v == 1.0 for v in checks_f.values()) or cdiff_f > 0.05:
+        failures += 1
+
     # --- fused Pallas replay (fwd + bwd kernels) vs the XLA scan replay ---
     from python_raytracer_tpu.ops.diff import _replay
     from python_raytracer_tpu.ops.replay_block import make_replay_block
