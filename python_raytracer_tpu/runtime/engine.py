@@ -152,6 +152,17 @@ class Engine:
                     block_kw=block_kw,
                 )
             )
+        # Post pipeline as ONE jitted program: eager per-op dispatch is fine
+        # on CPU but pays per-op RPC latency over the axon tunnel (measured
+        # seconds/frame while the compute is ~2 ms) — same reason the
+        # renderer is jitted above.
+        def _post(canvas, frame, iris):
+            canvas = post_ops.alpha_over(canvas, frame)
+            image, iris_t = post_ops.post_stack(canvas, st, iris)
+            return canvas, image, iris_t
+
+        self._post_jit = jax.jit(_post)
+
         if st.culling and scene.player is not None:
             self._rebake()
 
@@ -300,8 +311,8 @@ class Engine:
 
         t0 = _time.perf_counter()
         with trace_scope("engine/post"):
-            self.canvas = post_ops.alpha_over(self.canvas, frame)
-            image_dev, iris_target = post_ops.post_stack(self.canvas, st, self.iris)
+            self.canvas, image_dev, iris_target = self._post_jit(
+                self.canvas, frame, jnp.asarray(self.iris, self.dtype))
             if self.pipeline:
                 out = self._pending
                 self._pending = (image_dev, iris_target)

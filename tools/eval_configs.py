@@ -102,21 +102,37 @@ def main():
                 "fps": round(1.0 / max(dt, 1e-9), 2),
                 "ms_per_frame": round(dt * 1000, 2), "frames": args.fps})
 
-    # 1. stock single frame
+    if not (args.cpu or args.small):
+        # health stamp (ROADMAP measurement rules: the tunnel intermittently
+        # degrades 100-1000x; numbers from a degraded window are garbage)
+        x = jnp.ones((1024, 1024))
+        fm = jax.jit(lambda a: a @ a)
+        np.asarray(fm(x)[0, :4])
+        t0 = time.time()
+        o = x
+        for _ in range(10):
+            o = fm(o * 0.5)
+        np.asarray(o[0, :4])
+        print(json.dumps({"event": "health",
+                          "matmul10_ms": round((time.time() - t0) * 1e3, 1)}))
+
+    # 1. stock single frame.  render_frame is eager JAX — jit each config's
+    # frame fn once (eager per-op dispatch costs per-op RPC latency over
+    # the axon tunnel; measured seconds/frame for ~2 ms of compute).
     st = base
     scene = build_default_scene(st)
     cam_pos = np.array(scene.player.cam_pos)
     cam_rot = np.array(scene.player.cam_rot)
     cs = compile_scene(scene, cam_pos=cam_pos)
+    f_stock = jax.jit(lambda arrays: render_frame(
+        st, cs.spec, arrays, cam_pos, cam_rot,
+        key=jax.random.PRNGKey(0), record_traversed=True))
     t0 = time.time()
-    img, trav = render_frame(st, cs.spec, cs.arrays, cam_pos, cam_rot,
-                             key=jax.random.PRNGKey(0), record_traversed=True)
+    img, trav = f_stock(cs.arrays)
     img = np.asarray(img)
     report("stock", time.time() - t0, img,
            {"traversed_chunks": int(np.asarray(trav).sum())})
-    steady_frame("stock", lambda: render_frame(
-        st, cs.spec, cs.arrays, cam_pos, cam_rot,
-        key=jax.random.PRNGKey(0), record_traversed=True)[0])
+    steady_frame("stock", lambda: f_stock(cs.arrays)[0])
 
     # 2. samples=4 static multisampling (tape-replayed static noise)
     st4 = base.replace(samples=4)
@@ -125,12 +141,12 @@ def main():
     tape = make_static_tape(st4)
     scene4 = build_default_scene(st4)
     cs4 = compile_scene(scene4, cam_pos=cam_pos)
+    f_ms = jax.jit(lambda arrays: render_frame(
+        st4, cs4.spec, arrays, cam_pos, cam_rot, tape=tape))
     t0 = time.time()
-    img4, _ = render_frame(st4, cs4.spec, cs4.arrays, cam_pos, cam_rot, tape=tape)
+    img4, _ = f_ms(cs4.arrays)
     report("multisample", time.time() - t0, np.asarray(img4), {"samples": 4})
-    steady_frame("multisample", lambda: render_frame(
-        st4, cs4.spec, cs4.arrays, cam_pos, cam_rot, tape=tape)[0],
-        {"samples": 4})
+    steady_frame("multisample", lambda: f_ms(cs4.arrays)[0], {"samples": 4})
 
     # 3. post stack over an animated camera path
     stp = base.replace(static=False)
@@ -158,14 +174,14 @@ def main():
     player.rot = (0.0, 0.0, 0.0)
     player.set_camera_pos()
     cs_g = compile_scene(scene_g, cam_pos=np.array(player.cam_pos))
+    gp = np.array(player.cam_pos)
+    gr = np.array(player.cam_rot)
+    f_gox = jax.jit(lambda arrays: render_frame(
+        stg, cs_g.spec, arrays, gp, gr, key=jax.random.PRNGKey(2)))
     t0 = time.time()
-    img_g, _ = render_frame(stg, cs_g.spec, cs_g.arrays,
-                            np.array(player.cam_pos), np.array(player.cam_rot),
-                            key=jax.random.PRNGKey(2))
+    img_g, _ = f_gox(cs_g.arrays)
     report("goxel_vol", time.time() - t0, np.asarray(img_g))
-    steady_frame("goxel_vol", lambda: render_frame(
-        stg, cs_g.spec, cs_g.arrays, np.array(player.cam_pos),
-        np.array(player.cam_rot), key=jax.random.PRNGKey(2))[0])
+    steady_frame("goxel_vol", lambda: f_gox(cs_g.arrays)[0])
 
     # 5. flythrough with culling + physics displacement
     stf = base.replace(static=False, culling=True)
