@@ -113,13 +113,20 @@ def _bounds(pos, size):
     return cp - s, fp + s
 
 
-def _step_impl(static: _Static, grids, offs, pos, vel, weights, visible,
-               active, rolls_key):
+def _step_impl(static: _Static, grids, offs, exact_sums, pos, vel, weights,
+               visible, active, rolls_key):
     """One physics tick: every mover's update_physics in scene order.
 
     ``visible`` gates collider participation (Object.update visibility);
     ``active`` gates the mover itself (visible AND dist <= dist_move —
-    the reference's movement-distance gate, scene/object.py update())."""
+    the reference's movement-distance gate, scene/object.py update()).
+
+    ``exact_sums``: accumulate friction/elasticity terms ONE AT A TIME in
+    the host path's exact cell order (lax.scan) — the f64 bit-exactness
+    contract. On TPU/f32 this scan is catastrophic (a sequential scalar
+    loop over window-cells x objects x velocity-steps; the worker watchdog
+    kills it), and f32 trajectories differ from the oracle anyway, so the
+    f32 path uses vectorized jnp.sum (same terms, reordered rounding)."""
     dtype = pos.dtype
     O = pos.shape[0]
     one = jnp.asarray(1.0, dtype)
@@ -218,10 +225,14 @@ def _step_impl(static: _Static, grids, offs, pos, vel, weights, visible,
                                jwin[:, 2] * self_win[:, 2] * static.friction,
                                jnp.zeros((cells,), dtype))
 
-                def add_seq(c, t):
-                    return (c[0] + t[0], c[1] + t[1]), None
+                if exact_sums:
+                    def add_seq(c, t):
+                        return (c[0] + t[0], c[1] + t[1]), None
 
-                (fr, el), _ = jax.lax.scan(add_seq, (fr, el), (ff, ee))
+                    (fr, el), _ = jax.lax.scan(add_seq, (fr, el), (ff, ee))
+                else:
+                    fr = fr + jnp.sum(ff)
+                    el = el + jnp.sum(ee)
 
             step = jnp.where(blocked, vdir * jnp.abs(va),
                              vdir * jnp.minimum(jnp.abs(va), one))
@@ -231,7 +242,12 @@ def _step_impl(static: _Static, grids, offs, pos, vel, weights, visible,
 
         def cond(carry):
             va = carry[0]
-            return jnp.any(va != 0.0)
+            it = carry[5]
+            # iteration cap: |va| drains to exact zero in theory (unit
+            # Chebyshev steps, exact f.p. subtraction), but a runaway loop
+            # inside jit kills the TPU worker process — bound it far above
+            # any real velocity (max_velocity clamps between ticks)
+            return jnp.any(va != 0.0) & (it < 4096)
 
         carry = (pos, vel)
 
@@ -259,9 +275,11 @@ def _step_impl(static: _Static, grids, offs, pos, vel, weights, visible,
 def make_physics_step(batch: PhysicsBatch):
     """Jitted tick: (pos [O,3], vel [O,3], weights [O], visible [O] bool,
     active [O] bool, rolls_key or None) -> (pos, vel). Retraces only when
-    batch statics change."""
+    batch statics change. f64 batches keep the bit-exact sequential sums;
+    f32 uses vectorized sums (see _step_impl)."""
     fn = partial(_step_impl, batch.static, batch.grids,
-                 jnp.asarray(batch.offs, jnp.int32))
+                 jnp.asarray(batch.offs, jnp.int32),
+                 batch.dtype == jnp.float64)
     return jax.jit(fn)
 
 

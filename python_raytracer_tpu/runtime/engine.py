@@ -61,7 +61,8 @@ class Engine:
                  key: Optional[jax.Array] = None, pipeline: Optional[bool] = None,
                  compact: bool = False, metrics: Optional[MetricLog] = None,
                  metrics_every: int = 0, block: bool = False,
-                 block_kw: Optional[dict] = None, jit_physics: bool = False):
+                 block_kw: Optional[dict] = None, jit_physics: bool = False,
+                 host_scale: bool = False):
         self.scene = scene
         self.settings: Settings = scene.settings
         st = self.settings
@@ -156,9 +157,18 @@ class Engine:
         # on CPU but pays per-op RPC latency over the axon tunnel (measured
         # seconds/frame while the compute is ~2 ms) — same reason the
         # renderer is jitted above.
+        # ``host_scale``: skip the device-side window scale and return the
+        # small pre-scale frame — the display edge scales on the host,
+        # exactly where the reference scales (pygame, init.py:245-253).
+        # Cuts the per-frame readback from window_scaled (e.g. 1024x768x4
+        # floats = 12.6 MB, ~390 ms over the axon tunnel) to the render
+        # resolution (~50 KB). Goldens keep the default device scale.
+        self.host_scale = host_scale
+
         def _post(canvas, frame, iris):
             canvas = post_ops.alpha_over(canvas, frame)
-            image, iris_t = post_ops.post_stack(canvas, st, iris)
+            image, iris_t = post_ops.post_stack(
+                canvas, st, iris, scale_to_window=not host_scale)
             return canvas, image, iris_t
 
         self._post_jit = jax.jit(_post)

@@ -92,7 +92,19 @@ def run_viewer(engine: Engine):  # pragma: no cover - interactive
             if image is None:
                 break
             surf = pg.Surface((image.shape[1], image.shape[0]))
-            pg.surfarray.blit_array(surf, np.clip(image[..., :3], 0, 255).astype(np.uint8).transpose(1, 0, 2))
+            if image.shape[0] != st.window_scaled[1]:
+                # host_scale engine: the window scale happens HERE, on the
+                # host, like the reference's pygame scale (init.py:245-253)
+                s = pg.Surface((image.shape[1], image.shape[0]))
+                pg.surfarray.blit_array(s, np.clip(
+                    image[..., :3], 0, 255).astype(np.uint8).transpose(1, 0, 2))
+                image = pg.surfarray.array3d(
+                    (pg.transform.smoothscale if st.smooth else
+                     pg.transform.scale)(s, st.window_scaled)
+                ).transpose(1, 0, 2)
+                pg.surfarray.blit_array(surf, image.transpose(1, 0, 2))
+            else:
+                pg.surfarray.blit_array(surf, np.clip(image[..., :3], 0, 255).astype(np.uint8).transpose(1, 0, 2))
             text = font.render(
                 f"{st.width} x {st.height} ({st.width * st.height}px) - "
                 f"{math.trunc(clock.get_fps())} / {st.fps} FPS",

@@ -148,10 +148,14 @@ def main():
     report("multisample", time.time() - t0, np.asarray(img4), {"samples": 4})
     steady_frame("multisample", lambda: f_ms(cs4.arrays)[0], {"samples": 4})
 
-    # 3. post stack over an animated camera path
+    # 3. post stack over an animated camera path. On TPU the Engine returns
+    # the pre-scale frame and the display edge scales on the host (the
+    # reference's own pygame scale placement) — the 12.6 MB window-scaled
+    # readback costs ~390 ms/frame over the axon tunnel.
+    tpu = not (args.cpu or args.small)
     stp = base.replace(static=False)
     scene_p = build_default_scene(stp)
-    eng = Engine(scene_p)
+    eng = Engine(scene_p, host_scale=tpu)
     t0 = time.time()
     frames = 12 if not args.small else 6
     out = None
@@ -188,7 +192,7 @@ def main():
     scene_f = build_default_scene(stf)
     # jitted batched physics tick (physics/jit_engine.py wired through the
     # Engine, VERDICT r4 item 5): one device dispatch for all movers
-    engf = Engine(scene_f, jit_physics=True)
+    engf = Engine(scene_f, jit_physics=True, host_scale=tpu)
     t0 = time.time()
     frames = 16 if not args.small else 8
     out = None
