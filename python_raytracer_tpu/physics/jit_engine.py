@@ -284,29 +284,49 @@ def make_physics_step(batch: PhysicsBatch):
 
 
 def step_scene(scene, batch: Optional[PhysicsBatch] = None, step_fn=None,
-               rolls_key=None):
+               rolls_key=None, device: Optional[str] = None):
     """Convenience host wrapper: one jitted physics tick for ``scene``,
     syncing object pos/vel back into the Python objects. Returns (batch,
     step_fn) for reuse. Anim/visibility/weight bookkeeping stays host-side
-    (Object.update), exactly like the host path's call order."""
-    if batch is None or batch.order != [o.id for o in scene.objects.values()]:
-        batch = build_batch(scene)
-        step_fn = None
-    if step_fn is None:
-        step_fn = make_physics_step(batch)
+    (Object.update), exactly like the host path's call order.
+
+    ``device``: None (auto) runs the physics jit on the CPU backend when
+    the default backend is an accelerator — the tick is a handful of small
+    sequential slab tests per mover (scalar-core-shaped work), and over
+    the axon tunnel each tick would additionally pay ~7 host<->device
+    transfers; host-local CPU jit measured ~1 ms vs ~700 ms on the
+    tunneled TPU. Pass "default" to keep the default backend (e.g. a
+    future many-object scene on a local accelerator)."""
     import math as _math
 
-    st = scene.settings
-    cam = scene.player.cam_pos if scene.player is not None else (0.0,) * 3
-    objs = [scene.objects[i] for i in batch.order]
-    pos = jnp.asarray(np.array([o.pos for o in objs]), batch.dtype)
-    vel = jnp.asarray(np.array([o.vel for o in objs]), batch.dtype)
-    weights = jnp.asarray(np.array([o.weight for o in objs]), batch.dtype)
-    visible = jnp.asarray(np.array([bool(o.visible) for o in objs]))
-    active = jnp.asarray(np.array([
-        bool(o.visible) and _math.dist(o.pos, cam) <= st.dist_move
-        for o in objs]))
-    pos, vel = step_fn(pos, vel, weights, visible, active, rolls_key)
+    if device is None:
+        device = "cpu" if jax.default_backend() != "cpu" else "default"
+    cpu_dev = jax.devices("cpu")[0] if device == "cpu" else None
+
+    import contextlib
+    ctx = (jax.default_device(cpu_dev) if cpu_dev is not None
+           else contextlib.nullcontext())
+    with ctx:
+        if (batch is None
+                or batch.order != [o.id for o in scene.objects.values()]
+                or (cpu_dev is not None
+                    and cpu_dev not in batch.grids[0].devices())):
+            batch = build_batch(scene)
+            step_fn = None
+        if step_fn is None:
+            step_fn = make_physics_step(batch)
+
+        st = scene.settings
+        cam = scene.player.cam_pos if scene.player is not None else (0.0,) * 3
+        objs = [scene.objects[i] for i in batch.order]
+        pos = jnp.asarray(np.array([o.pos for o in objs]), batch.dtype)
+        vel = jnp.asarray(np.array([o.vel for o in objs]), batch.dtype)
+        weights = jnp.asarray(np.array([o.weight for o in objs]), batch.dtype)
+        visible = jnp.asarray(np.array([bool(o.visible) for o in objs]))
+        active = jnp.asarray(np.array([
+            bool(o.visible) and _math.dist(o.pos, cam) <= st.dist_move
+            for o in objs]))
+        pos, vel = step_fn(pos, vel, weights, visible, active, rolls_key)
     pos = np.asarray(pos)
     vel = np.asarray(vel)
     for i, o in enumerate(objs):
