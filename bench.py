@@ -503,6 +503,15 @@ def main():
 
         bwd = jax.jit(jax.grad(bwd_loss))
 
+        # BENCH_CLEANUP_W > 0: program B first gathers the survivors of the
+        # trip-capped kernel to a static-width batch and marches THAT to
+        # completion (ops/compact.py resume_compact) before the full-batch
+        # masked backstop — the backstop then exits in ~1 trip, so a low
+        # BENCH_EP_CAP trades kernel trips (the measured 7.8x imbalance,
+        # ~2.1 us each under flat) for a narrow cleanup march instead of a
+        # full-width one. 0 = off (backstop eats everything, round-4 path).
+        cleanup_w = int(os.environ.get("BENCH_CLEANUP_W", "0"))
+
         if block and split3:
             def fwd_A(table, rays):
                 arrays = dataclasses.replace(cs.arrays, material_table=table)
@@ -515,6 +524,12 @@ def main():
 
             def fwd_B(table, state):
                 arrays = dataclasses.replace(cs.arrays, material_table=table)
+                if cleanup_w:
+                    from python_raytracer_tpu.ops.compact import resume_compact
+                    state = resume_compact(
+                        st, cs.spec, arrays, state, key=key,
+                        programs_used=cs.programs_used, background="sky",
+                        record_hits=max_hits, width=cleanup_w)
                 res = march(st, cs.spec, arrays,
                             RayBatch(state.pos, state.vel, state.life),
                             key=key, background="sky", mode="while",
@@ -572,6 +587,7 @@ def main():
         return {
             "rays": n_rays, "fwd_only": fwd_only, "compact": compact,
             "block": block, "block_kw": block_kw if block else None,
+            "cleanup_w": int(os.environ.get("BENCH_CLEANUP_W", "0")),
             "ladder": ladder, "unroll": unroll, "degraded": degraded,
             "health_matmul10_ms": round(health, 1),
             "device": str(jax.devices()[0]),
@@ -715,7 +731,11 @@ def main():
             exec_fp = _program_fingerprint(
                 trace_fn, (table, rays),
                 {"rays": n_rays, "block_kw": block_kw, "max_hits": max_hits,
-                 "split3": split3, "fast_bwd": fast_bwd},
+                 "split3": split3, "fast_bwd": fast_bwd,
+                 # cleanup_w changes program B but not fwd_A (the traced
+                 # fn); key it explicitly — omitted when 0 so pre-existing
+                 # fingerprints (and their saved executables) stay valid
+                 **({"cleanup_w": cleanup_w} if cleanup_w else {})},
                 extra_src=srcs)
             names = ("A", "B", "bwd") if split3 else ("fwd", "bwd")
             exec_paths = {nm: os.path.join(_EXEC_DIR, f"{nm}-{exec_fp}.pkl")

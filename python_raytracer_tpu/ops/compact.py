@@ -289,6 +289,57 @@ def march_ladder(
     return finalize_background(settings, state, background)
 
 
+def resume_compact(
+    settings: Settings,
+    spec: GridSpec,
+    arrays: SceneArrays,
+    state: _State,
+    *,
+    key=None,
+    programs_used: Tuple[int, ...] = (0,),
+    background: Optional[str] = "sky",
+    record_hits: int = 0,
+    width: int = 32768,
+    unroll: int = 1,
+    record_traversed: bool = False,
+) -> _State:
+    """Compacted straggler cleanup for a partial march state (the trip-capped
+    Pallas kernel's output, ``march_blockwise(..., cleanup=False)``).
+
+    A full-batch masked resume pays every remaining iteration over ALL N
+    lanes (~1.5 ns/lane-iter adds up to tens of ms when the capped kernel
+    leaves a deep tail), but the survivors are few: gather them to a static
+    ``width`` prefix, while-march just that batch to completion, and scatter
+    the results back. The permutation is applied with a single-key argsort +
+    per-row index gathers — multi-operand co-sorts (the ladder's ``_co_sort``
+    with a hit tape attached is 36 operands) do not compile on the round-4/5
+    compile service (ROADMAP forensics).
+
+    Exactness never depends on ``width``: rays beyond it (more survivors
+    than the static width) come back still alive, and the caller's full-batch
+    resume backstop finishes them — it exits in one trip when this pass
+    covered everyone. Per-ray state is self-contained and PRNG draws are
+    keyed by per-ray progress counters (ops/march.py draws_for_iteration),
+    so the gather/scatter permutation changes no ray's trajectory.
+    """
+    n = state.pos.shape[0]
+    if width >= n:
+        return state
+    dead = jnp.where(state.alive, jnp.int32(0), jnp.int32(1))
+    order = jnp.argsort(dead, stable=True)  # survivors first, order kept
+    idx = order[:width]
+    sub = _per_ray_map(state, lambda x: x[idx])
+    sub_rays = RayBatch(sub.pos, sub.vel, sub.life)
+    _, out = march(
+        settings, spec, arrays, sub_rays,
+        key=key, programs_used=programs_used, background=background,
+        mode="while", record_hits=record_hits, resume_state=sub,
+        record_traversed=record_traversed, finalize=False, unroll=unroll,
+    )
+    return _per_ray_map_scatter(state, out, idx)._replace(
+        traversed=out.traversed)
+
+
 def _slice_state(state: _State, width: int) -> _State:
     return _per_ray_map(state, lambda x: x[:width])
 

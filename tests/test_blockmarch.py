@@ -729,6 +729,55 @@ def test_blockmarch_unsorted_split_mode(scene):
                                   np.asarray(ref.hits.count))
 
 
+def test_blockmarch_capped_resume_compact(scene):
+    """Cap-and-cleanup forward (round-5 trip-imbalance lever): a hard
+    trip-capped kernel leaves many survivors mid-flight; resume_compact
+    gathers them to a static-width batch, marches it to completion and
+    scatters back; the full-batch backstop then finishes anyone a too-small
+    width missed. Bit-exact vs the plain march for BOTH a covering width
+    and a deliberately under-provisioned one (exactness must never depend
+    on the width — CLAUDE.md golden rule)."""
+    from python_raytracer_tpu.ops.compact import resume_compact
+    st, cs, cam_pos, cam_rot = scene
+    key = jax.random.PRNGKey(3)
+    rays = _rays(st, cam_pos, cam_rot, 1024, key)
+    ref = march(st, cs.spec, cs.arrays, rays, key=key, background="sky",
+                mode="while", programs_used=cs.programs_used, record_hits=16)
+    _, state_u, sid_s, _ = march_blockwise(
+        st, cs.spec, cs.arrays, rays, key=key, background="sky",
+        programs_used=cs.programs_used, record_hits=16, tile=512,
+        resident=True, inner_cap=2, ep_cap=4, byte_planes=True,
+        cleanup=False, finalize=False, unsorted=True, return_perm=True,
+        interpret=True)
+    n_alive = int(np.asarray(state_u.alive).sum())
+    assert n_alive > 8, "cap too loose for the test to mean anything"
+    inv = np.argsort(np.asarray(sid_s))
+    for width in (512, 8):  # covering / deliberately too small
+        state = resume_compact(
+            st, cs.spec, cs.arrays, state_u, key=key,
+            programs_used=cs.programs_used, background="sky",
+            record_hits=16, width=width)
+        if width >= n_alive:
+            assert not bool(np.asarray(state.alive).any())
+        else:
+            assert bool(np.asarray(state.alive).any())
+        res2 = march(st, cs.spec, cs.arrays,
+                     RayBatch(state.pos, state.vel, state.life),
+                     key=key, background="sky", mode="while",
+                     programs_used=cs.programs_used, record_hits=16,
+                     resume_state=state)
+        np.testing.assert_array_equal(np.asarray(res2.color)[inv],
+                                      np.asarray(ref.color))
+        np.testing.assert_array_equal(np.asarray(res2.step)[inv],
+                                      np.asarray(ref.step))
+        np.testing.assert_array_equal(np.asarray(res2.hits.vid)[inv],
+                                      np.asarray(ref.hits.vid))
+        np.testing.assert_array_equal(np.asarray(res2.hits.u)[inv],
+                                      np.asarray(ref.hits.u))
+        np.testing.assert_array_equal(np.asarray(res2.hits.count)[inv],
+                                      np.asarray(ref.hits.count))
+
+
 def _heat_program(ray, mat, settings, draws):
     """Custom-ray-property test shader ([N,3] ABI): accumulates mat.energy
     into a registered 'heat' row and tints color by it (the reference's
