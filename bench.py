@@ -492,10 +492,10 @@ def main():
         # fused Pallas kernels (ops/replay_block.py — round-5 backward);
         # 0 forces the XLA scan replay (the round-3/4 path).
         fast_bwd = os.environ.get("BENCH_FAST_BWD", "1") == "1"
+        _bwd_tile = int(os.environ.get("BENCH_BWD_TILE", "2048"))
         _replay_sel = make_replay(
             st, "sky", cs.programs_used, cs.arrays.program,
-            fast=None if fast_bwd else False,
-            tile=int(os.environ.get("BENCH_BWD_TILE", "2048")))
+            fast=None if fast_bwd else False, tile=_bwd_tile)
 
         def bwd_loss(table, hits, v0):
             color, _ = _replay_sel(table, hits, v0)
@@ -732,10 +732,12 @@ def main():
                 trace_fn, (table, rays),
                 {"rays": n_rays, "block_kw": block_kw, "max_hits": max_hits,
                  "split3": split3, "fast_bwd": fast_bwd,
-                 # cleanup_w changes program B but not fwd_A (the traced
-                 # fn); key it explicitly — omitted when 0 so pre-existing
-                 # fingerprints (and their saved executables) stay valid
-                 **({"cleanup_w": cleanup_w} if cleanup_w else {})},
+                 # cleanup_w / bwd tile change programs B / bwd but not
+                 # fwd_A (the traced fn); key them explicitly — omitted at
+                 # their defaults so pre-existing fingerprints (and their
+                 # saved executables) stay valid
+                 **({"cleanup_w": cleanup_w} if cleanup_w else {}),
+                 **({"bwd_tile": _bwd_tile} if _bwd_tile != 2048 else {})},
                 extra_src=srcs)
             names = ("A", "B", "bwd") if split3 else ("fwd", "bwd")
             exec_paths = {nm: os.path.join(_EXEC_DIR, f"{nm}-{exec_fp}.pkl")

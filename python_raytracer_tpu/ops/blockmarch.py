@@ -1585,6 +1585,7 @@ def march_blockwise(
     supersteps: int = 1,
     unroll: int = 1,
     cleanup: bool = True,
+    cleanup_width: int = 0,
     interpret: bool = False,
     return_trips: bool = False,
     byte_planes: bool = False,
@@ -2157,6 +2158,21 @@ def march_blockwise(
             else jnp.zeros((), jnp.int32)), hits=hits, aux=aux)
 
     if cleanup:
+        if cleanup_width and tape is None and slab is None:
+            # cap-and-cleanup (round 5): with a low ep_cap the kernel stops
+            # paying the 7.8x trip-imbalance tail; the survivors march to
+            # completion in a compacted static-width batch instead of a
+            # full-width masked resume (ops/compact.py resume_compact).
+            # The backstop below still runs (near-zero-trip when the width
+            # covered everyone) — exactness depends on neither cap.
+            from python_raytracer_tpu.ops.compact import resume_compact
+            state = resume_compact(
+                settings, spec, arrays, state, key=key,
+                programs_used=programs_used, background=background,
+                record_hits=H, width=cleanup_width,
+                record_traversed=record_traversed,
+                voxel_albedo=voxel_albedo,
+                record_cells=record_cells and H > 0)
         # finish any ray the static caps under-provisioned for (usually a
         # zero-trip while_loop) — exactness never depends on the caps
         _, state = march(

@@ -302,6 +302,8 @@ def resume_compact(
     width: int = 32768,
     unroll: int = 1,
     record_traversed: bool = False,
+    voxel_albedo=None,
+    record_cells: bool = False,
 ) -> _State:
     """Compacted straggler cleanup for a partial march state (the trip-capped
     Pallas kernel's output, ``march_blockwise(..., cleanup=False)``).
@@ -334,7 +336,8 @@ def resume_compact(
         settings, spec, arrays, sub_rays,
         key=key, programs_used=programs_used, background=background,
         mode="while", record_hits=record_hits, resume_state=sub,
-        record_traversed=record_traversed, finalize=False, unroll=unroll,
+        record_traversed=record_traversed, voxel_albedo=voxel_albedo,
+        record_cells=record_cells, finalize=False, unroll=unroll,
     )
     return _per_ray_map_scatter(state, out, idx)._replace(
         traversed=out.traversed)

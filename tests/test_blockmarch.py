@@ -776,6 +776,17 @@ def test_blockmarch_capped_resume_compact(scene):
                                       np.asarray(ref.hits.u))
         np.testing.assert_array_equal(np.asarray(res2.hits.count)[inv],
                                       np.asarray(ref.hits.count))
+    # integrated path: march_blockwise(cleanup_width=...) — the fused
+    # kernel + compacted cleanup + backstop in one call (the Engine path)
+    res3 = march_blockwise(
+        st, cs.spec, cs.arrays, rays, key=key, background="sky",
+        programs_used=cs.programs_used, record_hits=16, tile=512,
+        resident=True, inner_cap=2, ep_cap=4, byte_planes=True,
+        cleanup_width=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(res3.color),
+                                  np.asarray(ref.color))
+    np.testing.assert_array_equal(np.asarray(res3.hits.u),
+                                  np.asarray(ref.hits.u))
 
 
 def _heat_program(ray, mat, settings, draws):
