@@ -374,7 +374,10 @@ def main():
     # service (tools/compile_bisect.py round-4 measurement) vs 2.6 s for
     # the resident kernel, and the BASELINE-scale scene fits in VMEM.
     block_kw = dict(
-        tile=int(os.environ.get("BENCH_TILE", "2048")),
+        # tile=4096 is the round-5 measured optimum (A 56.2 ms vs 60.1 at
+        # 2048, 74.4 at 1024, 59.1 at 6144, 60.2 at 8192 — instruction-
+        # issue-bound body, mild per-tile fixed costs)
+        tile=int(os.environ.get("BENCH_TILE", "4096")),
         supersteps=int(os.environ.get("BENCH_SUPERSTEPS", "1")),
         ep_cap=int(os.environ.get("BENCH_EP_CAP", "384")),
         inner_cap=int(os.environ.get("BENCH_INNER_CAP", "2")),

@@ -117,7 +117,8 @@ def main():
     outf = march_blockwise(st, cs.spec, cs.arrays, rays, key=key,
                            background="sky", programs_used=cs.programs_used,
                            record_hits=16, resident=True, byte_planes=True,
-                           flat=True, inner_cap=2, ep_cap=384)
+                           flat=True, inner_cap=2, ep_cap=384,
+                           tile=min(4096, n))  # bench-default tile (round 5)
     checks_f = {
         "step": (np.asarray(ref.step) == np.asarray(outf.step)).mean(),
         "bounces": (np.asarray(ref.bounces)
