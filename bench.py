@@ -490,7 +490,13 @@ def main():
         from python_raytracer_tpu.ops.blockmarch import march_blockwise
         from python_raytracer_tpu.ops.compact import march_ladder
 
-        max_hits = int(os.environ.get("BENCH_MAX_HITS", "12"))
+        # H=6: the stock bench batch's true max hit count is 3 (measured on
+        # the exact 393216-ray batch on hardware, round 5; theory bound 12
+        # via min-absorption). Halving the tape halves program C's HBM
+        # traffic and drops 6 of the kernel's [H, w] record-RMW rows per
+        # trip. Overflow can NEVER be silent: fwd_B returns max(count) and
+        # kernel_sane rejects any run where it exceeds H.
+        max_hits = int(os.environ.get("BENCH_MAX_HITS", "6"))
         # BENCH_FAST_BWD=1 (default): program C replays the tape through the
         # fused Pallas kernels (ops/replay_block.py — round-5 backward);
         # 0 forces the XLA scan replay (the round-3/4 path).
@@ -539,7 +545,8 @@ def main():
                             programs_used=cs.programs_used,
                             record_hits=max_hits, resume_state=state)
                 return (jnp.mean(res.color / 255.0), res.hits,
-                        (jnp.mean(res.step), jnp.mean(res.bounces)))
+                        (jnp.mean(res.step), jnp.mean(res.bounces),
+                         jnp.max(res.hits.count)))
 
             f_A = jax.jit(fwd_A)
             f_B = jax.jit(fwd_B)
@@ -574,7 +581,8 @@ def main():
                                 programs_used=cs.programs_used,
                                 record_hits=max_hits, unroll=unroll)
                 return (jnp.mean(res.color / 255.0), res.hits,
-                        (jnp.mean(res.step), jnp.mean(res.bounces)))
+                        (jnp.mean(res.step), jnp.mean(res.bounces),
+                         jnp.max(res.hits.count)))
 
             f_fwd = jax.jit(fwd)
 
@@ -611,6 +619,20 @@ def main():
         except Exception:
             return False
         ok = (1.0 <= b <= 6.0) and (10.0 <= s <= 80.0)
+        # hit-tape overflow gate: the H=6 tape default rests on the measured
+        # max count of 3 — a scene/config where any ray exceeds H would make
+        # the backward silently drop hits, so it must never be published
+        if ok and len(aux) > 2:
+            try:
+                cmax = float(aux[2])
+                h_cfg = int(os.environ.get("BENCH_MAX_HITS", "6"))
+                if cmax > h_cfg:
+                    print(json.dumps({"event": "hit-tape-overflow",
+                                      "count_max": cmax, "H": h_cfg}),
+                          flush=True)
+                    ok = False
+            except Exception:
+                pass
         if not ok:
             print(json.dumps({"event": "kernel-insane",
                               "steps_per_ray": round(s, 2),
